@@ -1,0 +1,162 @@
+"""Per-turn text processing core — the exact semantics of the reference's
+text-parser pipeline, re-implemented as pure functions that run inside the
+Arrow-batched pandas UDF (``parse.py``) and inside the test oracle.
+
+Replicated reference behavior (file:line cites into /root/reference):
+
+* whitespace split — ``arekit/common/utils.py:22-28`` (``str.split()``).
+* bracket entity detector — ``contrib/utils/pipelines/items/text/entities_default.py:14-17``:
+  a whole whitespace token ``[Value]`` becomes an Entity; value lowercased by
+  the Entity ctor (``common/entities/base.py:7``).
+* tokenizer FSM — ``contrib/utils/pipelines/items/text/tokenizer.py:60-105``:
+  URL check first (scheme+netloc+path all non-empty,
+  ``processing/text/tokens.py:100-106``); then a char scan where a mapped
+  punctuation char is a 1-char token (NEW_LINE dropped), a digit run starting
+  at scan position becomes ``<[NUMBER]>``, and a word run consumes every
+  following char that is not a mapped char — except ``-`` which is consumed
+  (so in-word dashes and digits stay inside the word).
+* frame variant scan — ``contrib/utils/pipelines/items/text/frames.py:47-86``:
+  greedy left-to-right, candidate span lengths iterate over
+  ``reversed(range(1, max_variant_len))`` — i.e. ``max_variant_len-1 .. 1``;
+  variants of exactly the maximum length never match (reference quirk,
+  replicated deliberately); spans must consist of str terms only; a hit
+  replaces the span with ONE frame term. Lemmatization seam
+  (``frames_lemmatized.py:21-24``) is a deterministic lowercase normalizer
+  here (Mystem is RU-only, non-hermetic, and out of sandbox scope).
+* negation — ``frames_negation.py:14-28``: a frame term is negated iff the
+  immediately preceding output term is a negation word (locale-mods seam,
+  ``processing/languages/ru/mods.py:12-13``).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import NamedTuple
+
+# term kinds
+W, T, E, F = "w", "t", "e", "f"
+
+# char -> token value, ``processing/text/tokens.py:32-52`` (NEW_LINE handled
+# separately: dropped by the tokenizer at ``tokenizer.py:86-88``).
+TOKEN_MAP = {
+    ",": "<[,]>", ".": "<[.]>", "…": "<[…]>", ":": "<[:]>", ";": "<[;]>",
+    "-": "<[-]>", "—": "<[long_dash]>", "?": "<[?]>", "!": "<[!]>",
+    "(": "<[OPEN_BRACKET]>", ")": "<[CLOSED_BRACKET]>",
+    "{": "<[OPEN_BRACKET]>", "}": "<[CLOSED_BRACKET]>",
+    "[": "<[OPEN_BRACKET]>", "]": "<[CLOSED_BRACKET]>",
+    "«": "<[QUOTE]>", "»": "<[QUOTE]>", '"': "<[QUOTE]>",
+}
+NUMBER_TOKEN = "<[NUMBER]>"
+URL_TOKEN = "<[URL]>"
+
+_TOK_CHARS = ",.…:;—?!(){}\\[\\]«»\"\n\\-"       # all mapped chars (incl dash, \n)
+_TOK_NODASH = ",.…:;—?!(){}\\[\\]«»\"\n"          # mapped chars except dash
+# one regex pass == the reference's char FSM (tokenizer.py:76-105):
+#   word run: first char neither digit nor mapped; following chars anything
+#             except mapped-non-dash chars (digits and dashes continue a word)
+#   digit run at scan position -> NUMBER
+#   single mapped char -> token
+_FSM = re.compile(
+    "([^0-9" + _TOK_CHARS + "][^" + _TOK_NODASH + "]*)"
+    "|([0-9]+)"
+    "|([" + _TOK_CHARS + "])"
+)
+
+class Term(NamedTuple):
+    kind: str     # w | t | e | f
+    text: str     # word (raw) | token value | entity value (lower) | frame_id
+    negated: bool = False
+
+
+def is_url(word: str) -> bool:
+    """``Tokens.try_create_url`` (tokens.py:100-106): urlparse-based; scheme,
+    netloc and path must all be non-empty. The ``://`` prefilter only skips
+    words urlparse would reject anyway (non-empty netloc needs ``scheme://``)."""
+    if "://" not in word:
+        return False
+    from urllib.parse import urlparse
+    r = urlparse(word)
+    return bool(r.scheme and r.netloc and r.path)
+
+
+def split_word(word: str) -> list[Term]:
+    """Tokenizer FSM over one whitespace token (tokenizer.py:76-105)."""
+    if is_url(word):
+        return [Term(T, URL_TOKEN)]
+    out: list[Term] = []
+    for m in _FSM.finditer(word):
+        w_run, d_run, tok = m.group(1), m.group(2), m.group(3)
+        if w_run is not None:
+            out.append(Term(W, w_run))
+        elif d_run is not None:
+            out.append(Term(T, NUMBER_TOKEN))
+        elif tok != "\n":
+            out.append(Term(T, TOKEN_MAP[tok]))
+    return out
+
+
+def detect_entity(word: str) -> str | None:
+    """Bracket detector (entities_default.py:14-17); returns lowercased value."""
+    if len(word) > 2 and word[0] == "[" and word[-1] == "]":
+        return word[1:-1].lower()
+    return None
+
+
+def tokenize_turn(text: str) -> list[Term]:
+    """T1 (whitespace split) + S8 (entity detect) + T2/T8 (tokenizer)."""
+    terms: list[Term] = []
+    for word in text.split():
+        ent = detect_entity(word)
+        if ent is not None:
+            terms.append(Term(E, ent))
+        else:
+            terms.extend(split_word(word))
+    return terms
+
+
+def scan_frames(terms: list[Term], variants: dict[str, str],
+                max_variant_len: int,
+                negation_words: frozenset[str]) -> list[Term]:
+    """T4/T5 frame scan + T6 negation over a tokenized term list.
+
+    ``variants`` maps lowercase phrase -> frame_id. Candidate span lengths are
+    ``max_variant_len-1 .. 1`` (frames.py:56-60 quirk). Only runs when
+    max_variant_len >= 2, like the reference (max==1 would loop forever there).
+    """
+    if not variants or max_variant_len < 2:
+        return terms
+    lemmas = [t.text.lower() if t.kind == W else None for t in terms]
+    out: list[Term] = []
+    start = 0
+    n = len(terms)
+    while start < n:
+        hit_id, hit_end = None, start
+        for size in range(max_variant_len - 1, 0, -1):
+            last = start + size - 1
+            if last >= n:
+                continue
+            if any(lemmas[i] is None for i in range(start, last + 1)):
+                continue
+            phrase = " ".join(lemmas[start:last + 1])
+            fid = variants.get(phrase)
+            if fid is not None:
+                hit_id, hit_end = fid, last
+                break
+        if hit_id is not None:
+            prev = out[-1] if out else None
+            negated = (prev is not None and prev.kind == W
+                       and prev.text.lower() in negation_words)
+            out.append(Term(F, hit_id, negated))
+            start = hit_end + 1
+        else:
+            out.append(terms[start])
+            start += 1
+    return out
+
+
+def parse_turn(text: str, variants: dict[str, str], max_variant_len: int,
+               negation_words: frozenset[str]) -> list[Term]:
+    """Full per-turn parse: the reference text-parser pipeline
+    [entities -> tokenizer -> lemma-frames -> negation] on one turn."""
+    return scan_frames(tokenize_turn(text), variants, max_variant_len,
+                       negation_words)

@@ -1,0 +1,103 @@
+"""End-to-end EP1: transcripts -> (subj, pred, obj) triples.
+
+Composition of the stage functions (SURVEY.md §3 EP1, §7 stage 2):
+
+    scan -> parse UDF -> mentions (+groups) -> candidate pairs (J2/J3)
+         -> nolabel doc opinions (J8)    ┐
+    seed -> predefined doc opinions (J8) ┴-> union+priority (U1/J9)
+         -> group-join expansion (J6) -> filters (J10/J11) -> dedup (J9)
+         -> triples
+
+No custom pipeline framework: each stage is DataFrame -> DataFrame; Catalyst
+owns the physical plan. The mentions table is the only intermediate used by
+multiple downstream joins — it is persisted (or checkpointed to a table at
+real scale) so the parse UDF runs exactly once over the corpus.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from .config import PipelineConfig
+from .lexicons import FramesLexicon, KgInputs, load_entity_types, load_synonym_seed
+from .operators.expansion import (dedup_across_annotators,
+                                  expand_to_text_opinions,
+                                  triples_schema_select)
+from .operators.grouping import seed_groups_df, with_group_key
+from .operators.mentions import frames_table, mentions_table
+from .operators.opinions import (nolabel_doc_opinions, predefined_doc_opinions,
+                                 union_annotators)
+from .operators.pairs import candidate_pairs, exclude_existed
+from .operators.parse import parse_transcripts
+
+
+@dataclass
+class TriplePipelineResult:
+    mentions: DataFrame
+    frames: DataFrame
+    doc_opinions: DataFrame
+    triples: DataFrame
+
+
+def attach_entity_types(mentions: DataFrame, spark: SparkSession,
+                        types: dict[str, str]) -> DataFrame:
+    """Broadcast value->type lookup (J12 support); unknown values get NULL."""
+    if not types:
+        return mentions.withColumn("ent_type", F.lit(None).cast("string"))
+    tdf = spark.createDataFrame(
+        [(k, v) for k, v in sorted(types.items())], "value string, ent_type string")
+    return mentions.join(F.broadcast(tdf), "value", "left")
+
+
+def build_triple_pipeline(spark: SparkSession,
+                          inputs: KgInputs,
+                          cfg: PipelineConfig | None = None,
+                          transcripts: DataFrame | None = None,
+                          persist: bool = True) -> TriplePipelineResult:
+    cfg = cfg or PipelineConfig()
+    if transcripts is None:
+        transcripts = spark.read.parquet(inputs.transcripts)
+
+    frames_lex = FramesLexicon.from_json(inputs.frames)
+    seed_syn = load_synonym_seed(inputs.synonyms)
+    seed_df = seed_groups_df(spark, seed_syn)
+
+    parsed = parse_transcripts(transcripts, frames_lex, cfg)
+    mentions = with_group_key(mentions_table(parsed), seed_df,
+                              register_missed=cfg.register_missed_synonyms)
+    if cfg.entity_type_whitelist is not None:
+        # J3's is_entity_ignored_func and the J12 filter agree: a mention
+        # whose type is outside the whitelist can join no pair on either end
+        # (``filters/entity_based.py:9-28``). Filtering once AFTER positions/
+        # ids are assigned preserves ent_id / ind_in_doc numbering.
+        mentions = attach_entity_types(
+            mentions, spark, load_entity_types(inputs.entity_types))
+        mentions = mentions.filter(
+            F.col("ent_type").isin(list(cfg.entity_type_whitelist)))
+    if persist:
+        mentions = mentions.persist(StorageLevel.MEMORY_AND_DISK)
+
+    pairs = candidate_pairs(mentions, cfg)
+
+    seed_ops = spark.read.parquet(inputs.seed_opinions)
+    predefined = predefined_doc_opinions(seed_ops, seed_df)
+    # canonical wiring passes get_doc_existed_opinions_func = None for the
+    # nolabel annotator (rusentrel/extract_text_opinions.py:78) -> no J3
+    # existed-opinion exclusion; exclude_existed() stays available for the
+    # wiring that supplies one.
+    nolabel = nolabel_doc_opinions(pairs, cfg.no_label)
+    doc_opinions = union_annotators(predefined, nolabel)
+
+    expanded = expand_to_text_opinions(doc_opinions, mentions, cfg)
+    triples = triples_schema_select(dedup_across_annotators(expanded))
+
+    return TriplePipelineResult(
+        mentions=mentions,
+        frames=frames_table(parsed),
+        doc_opinions=doc_opinions,
+        triples=triples,
+    )
