@@ -1,38 +1,43 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship KG triple-extraction query at sf0.001;
+``queries()`` exposes one callable per implemented operator (SURVEY.md §2 and
+the training-data-pipeline scope); ``oracle_sql()`` provides DuckDB
+equivalents (omitted only for ops whose semantics need iteration/greedy scans
+that one SQL statement can't express — the driver then records a rows-only
+check, and pytest covers exact parity against the reference-transcription
+oracle instead).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: EP1 triple extraction on the sf0.001 synthetic transcripts."""
+    from arekit_r335_spark.datagen import repo_data_dir
+    from arekit_r335_spark.lexicons import KgInputs
+    from arekit_r335_spark.pipeline import build_triple_pipeline
+
+    data_dir = repo_data_dir("/root/testdata/sf0.001")
+    res = build_triple_pipeline(spark, KgInputs.at(data_dir), persist=False)
+    return res.triples
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    from arekit_r335_spark.queries import registry
+    return registry()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from arekit_r335_spark.queries import oracles
+    return oracles("/root/testdata/sf0.01")

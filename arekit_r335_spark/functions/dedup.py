@@ -1,0 +1,151 @@
+"""Deduplication operators over the documents table: exact, MinHash+LSH,
+SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+Scale design:
+* exact dedup = hash groupBy on md5(norm) — one shuffle, map-side partial agg;
+* MinHash/LSH: shingle -> k MinHash values -> band keys -> candidate pairs via
+  equi-join on band key (never an all-pairs cross join); hot bands are a skew
+  risk -> AQE skew join + the band key includes the band index;
+* n-gram Jaccard: shingle-set equi-join restricted to candidate pairs;
+* embedding near-dup: cosine over float arrays with JVM higher-order
+  functions (zip_with/aggregate) — no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text_analysis import fingerprints, norm_text, shingles
+
+
+def exact_dup_groups(documents: DataFrame) -> DataFrame:
+    """(text_key, canonical_doc_id, dup_count) per distinct normalized text.
+    Reference analog: the engine-side A2 dropDuplicates discipline applied to
+    corpus text (dedup is new scope per the build brief, not in AREkit)."""
+    return (documents
+            .select("doc_id", F.md5(norm_text(F.col("text"))).alias("text_key"))
+            .groupBy("text_key")
+            .agg(F.min("doc_id").cast("long").alias("canonical_doc_id"),
+                 F.count("*").cast("long").alias("dup_count")))
+
+
+def minhash_signatures(documents: DataFrame, n: int = 3, k: int = 8) -> DataFrame:
+    """(doc_id, minhash_0..k-1) portable MinHash signature (md5-salted)."""
+    salts = tuple(f"s{i}" for i in range(k))
+    return fingerprints(documents, n=n, salts=salts).drop("md5_norm")
+
+
+def lsh_candidate_pairs(documents: DataFrame, n: int = 3, k: int = 8,
+                        bands: int = 4) -> DataFrame:
+    """MinHash-LSH candidate pairs: signatures banded into ``bands`` groups of
+    ``k/bands`` rows; a shared band bucket => candidate (doc_a < doc_b)."""
+    rows = k // bands
+    sig = minhash_signatures(documents, n=n, k=k)
+    band_cols = [
+        F.struct(F.lit(b).alias("band"),
+                 F.concat_ws("#", *[F.col(f"minhash_{b * rows + r}")
+                                    for r in range(rows)]).alias("key"))
+        for b in range(bands)]
+    banded = (sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bk"))
+              .select("doc_id", F.col("bk.band").alias("band"),
+                      F.col("bk.key").alias("key")))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.key") == F.col("b.key"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+
+
+def ngram_jaccard_pairs(documents: DataFrame, n: int = 3,
+                        threshold: float = 0.8,
+                        candidates: DataFrame | None = None) -> DataFrame:
+    """(doc_a, doc_b, inter_size, size_a, size_b) for pairs with
+    Jaccard >= threshold over word n-gram shingle SETS. Exact sizes are
+    integers; the float threshold is applied via cross-multiplication
+    (inter * (1+t') >= t' * union scaled by 10^6) to stay integer-exact."""
+    sh = shingles(documents, n).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    joined = a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+    if candidates is not None:
+        joined = joined.join(
+            candidates,
+            (F.col("a.doc_id") == candidates["doc_a"])
+            & (F.col("b.doc_id") == candidates["doc_b"]), "left_semi")
+    inter = (joined
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count("*").cast("long").alias("inter_size")))
+    t_num = int(round(threshold * 1_000_000))
+    out = (inter
+           .join(sizes.withColumnRenamed("doc_id", "doc_a")
+                      .withColumnRenamed("sz", "size_a"), "doc_a")
+           .join(sizes.withColumnRenamed("doc_id", "doc_b")
+                      .withColumnRenamed("sz", "size_b"), "doc_b"))
+    # jaccard = inter / (size_a + size_b - inter) >= t  (integer-exact)
+    keep = (F.col("inter_size") * 1_000_000
+            >= F.lit(t_num) * (F.col("size_a") + F.col("size_b")
+                               - F.col("inter_size")))
+    return out.filter(keep).select("doc_a", "doc_b", "inter_size",
+                                   "size_a", "size_b")
+
+
+def simhash(documents: DataFrame, bits: int = 32) -> DataFrame:
+    """(doc_id, simhash) — 32-bit SimHash over word tokens. Per-token hash =
+    first 8 md5 hex chars (portable); bit-vote aggregation via JVM
+    higher-order functions on an int array; no UDFs."""
+    toks = (documents
+            .select("doc_id", F.explode(
+                F.split(norm_text(F.col("text")), " ")).alias("tok"))
+            .filter(F.col("tok") != "")
+            .select("doc_id",
+                    F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10)
+                    .cast("long").alias("h")))
+    # vote per bit: sum(+1/-1); sign -> bit
+    votes = toks.groupBy("doc_id").agg(*[
+        F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1,
+                     1).otherwise(-1)).alias(f"v{b}")
+        for b in range(bits)])
+    sim = None
+    for b in range(bits):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(2 ** b)).otherwise(F.lit(0))
+        sim = bit if sim is None else (sim + bit)
+    return votes.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.95,
+                       bucket_dims: int = 4) -> DataFrame:
+    """Embedding-cosine near-dup pairs. Scale path: LSH-ish sign-bucket on the
+    first ``bucket_dims`` dimensions prunes the self-join (same-bucket only);
+    exact cosine on survivors. (vec_a, vec_b, cos_e6: BIGINT)."""
+    sig = None
+    for d in range(bucket_dims):
+        bit = F.when(F.element_at("embedding", d + 1) >= 0,
+                     F.lit(2 ** d)).otherwise(F.lit(0))
+        sig = bit if sig is None else (sig + bit)
+    e = embeddings.select(F.col("vec_id"), F.col("embedding"),
+                          sig.alias("bucket"))
+    a, b = e.alias("a"), e.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.embedding"), F.col("b.embedding"),
+                   lambda x, y: (x * y).cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
+    nrm = (F.sqrt(F.aggregate(F.transform(F.col("a.embedding"),
+                                          lambda x: (x * x).cast("double")),
+                              F.lit(0.0), lambda acc, v: acc + v))
+           * F.sqrt(F.aggregate(F.transform(F.col("b.embedding"),
+                                            lambda x: (x * x).cast("double")),
+                                F.lit(0.0), lambda acc, v: acc + v)))
+    cos = dot / nrm
+    return (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a.vec_id") < F.col("b.vec_id")))
+            .select(F.col("a.vec_id").alias("vec_a"),
+                    F.col("b.vec_id").alias("vec_b"),
+                    F.round(cos * 1_000_000, 0).cast("long").alias("cos_e6"))
+            .filter(F.col("cos_e6") >= int(round(threshold * 1_000_000))))

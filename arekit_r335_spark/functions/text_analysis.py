@@ -1,0 +1,112 @@
+"""Text-analysis operators for the training-data pipeline (documents table):
+token counting, quality scoring, language-ID heuristic, fingerprinting.
+
+Design rules for 100 TB:
+* everything is built-in ``pyspark.sql.functions`` (JVM, whole-stage codegen);
+  no Python in the hot path;
+* deterministic integer outputs (hit counts, not ratios) so results are
+  bit-identical across engines and partitionings — callers derive floats;
+* md5 (present in every engine) is the cross-engine hash primitive.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS_EN = ("the", "a", "of", "to", "and", "in", "on", "for", "with")
+MARKERS = {
+    "en": STOPWORDS_EN,
+    "de": ("der", "die", "das", "und", "nicht", "ein"),
+    "es": ("el", "la", "de", "y", "no", "que"),
+}
+_PUNCT_RE = r"[,.;:!?()\[\]{}\"'«»…—-]"
+
+
+def norm_text(col):
+    """Canonical text normalization: lower + whitespace collapse + trim."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def tokens_col(col):
+    return F.split(norm_text(col), " ")
+
+
+def _hits(tokens, words: tuple[str, ...]):
+    return F.size(F.filter(tokens, lambda t: t.isin(*words)))
+
+
+def token_stats(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_chars, n_chars_nospace) — all BIGINT."""
+    toks = tokens_col(F.col("text"))
+    return documents.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.length(F.regexp_replace("text", r"\s", "")).cast("long")
+         .alias("n_chars_nospace"),
+    )
+
+
+def quality_signals(documents: DataFrame) -> DataFrame:
+    """Quality-score components as exact integer counts:
+    (doc_id, n_tokens, stop_hits, digit_tokens, punct_chars, n_chars)."""
+    toks = tokens_col(F.col("text"))
+    return documents.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        _hits(toks, STOPWORDS_EN).cast("long").alias("stop_hits"),
+        F.size(F.filter(toks, lambda t: t.rlike("^[0-9]+$"))).cast("long")
+         .alias("digit_tokens"),
+        (F.length("text")
+         - F.length(F.regexp_replace("text", _PUNCT_RE, ""))).cast("long")
+         .alias("punct_chars"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+def langid_scores(documents: DataFrame) -> DataFrame:
+    """N-gram(1) marker-hit language ID: per-language hit counts + argmax
+    prediction (ties broken by language code order de < en < es)."""
+    toks = tokens_col(F.col("text"))
+    df = documents.select(
+        "doc_id",
+        *[_hits(toks, ws).cast("long").alias(f"hits_{lang}")
+          for lang, ws in sorted(MARKERS.items())])
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in sorted(MARKERS)])
+    pred = F.lit("unk")
+    for lang in sorted(MARKERS, reverse=True):
+        pred = F.when((F.col(f"hits_{lang}") == best) & (best > 0),
+                      F.lit(lang)).otherwise(pred)
+    return df.withColumn("pred_lang", pred)
+
+
+def shingles(documents: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) word n-gram shingles of the normalized text; docs
+    shorter than n tokens contribute their whole normalized text."""
+    toks = tokens_col(F.col("text"))
+    d = documents.select("doc_id", toks.alias("toks"))
+    idx = F.sequence(F.lit(1), F.size("toks") - (n - 1))
+    sh = F.transform(idx, lambda i: F.concat_ws(
+        " ", *[F.element_at("toks", i + k) for k in range(n)]))
+    return (d.select(
+        "doc_id",
+        F.when(F.size("toks") >= n, sh)
+         .otherwise(F.array(F.concat_ws(" ", "toks"))).alias("shingles"))
+        .select("doc_id", F.explode("shingles").alias("shingle")))
+
+
+def fingerprints(documents: DataFrame, n: int = 3,
+                 salts: tuple[str, ...] = ("s0", "s1", "s2", "s3")) -> DataFrame:
+    """Document fingerprint: md5 of normalized text + a MinHash signature.
+
+    MinHash permutation k = lexicographic min of ``md5(salt_k || shingle)``
+    hex strings — engine-portable (md5 is identical everywhere), uniform, and
+    order-independent. (doc_id, md5_norm, minhash_0..k)."""
+    sh = shingles(documents, n)
+    aggs = [F.min(F.md5(F.concat(F.lit(s), F.lit("|"), F.col("shingle"))))
+            .alias(f"minhash_{i}") for i, s in enumerate(salts)]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    base = documents.select("doc_id",
+                            F.md5(norm_text(F.col("text"))).alias("md5_norm"))
+    return base.join(sig, "doc_id", "left")

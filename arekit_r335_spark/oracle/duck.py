@@ -1,0 +1,193 @@
+"""DuckDB oracle SQL builders for the driver's correctness gate.
+
+Each builder returns ANSI-ish SQL runnable by DuckDB. KG queries read the
+deterministic synthetic fixtures directly via ``read_parquet`` (the
+transcripts table is not among the driver's pre-registered views); document/
+embedding/event/lineitem queries use the pre-registered views.
+
+The no-frames KG queries transcribe the engine's relational semantics into
+SQL end-to-end (tokenizer FSM as one regex, window cumulative positions,
+self-join pair enumeration, group joins, priority dedup) — an independent
+execution of the same logical plan on a different engine.
+"""
+
+from __future__ import annotations
+
+# The tokenizer FSM as one RE2-compatible regex: word-run | digit-run |
+# single mapped punctuation char (see operators/textproc.py for the
+# derivation from tokenizer.py:76-105). Number of matches == number of terms
+# emitted for a non-entity, non-URL whitespace token.
+FSM_SQL = ("([^0-9,.…:;—?!(){}\\[\\]«»\"\\n\\-]"
+           "[^,.…:;—?!(){}\\[\\]«»\"\\n]*)"
+           "|([0-9]+)"
+           "|([,.…:;—?!(){}\\[\\]«»\"\\n\\-])")
+
+# URL predicate equivalent to urlparse scheme+netloc+path (textproc.is_url)
+# on ``://``-containing words: netloc = run up to the first /, ? or #; path
+# must start with / and be non-empty... path='/' alone is also non-empty.
+URL_SQL = "regexp_matches({w}, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]+/')"
+
+ENT_SQL = ("(length({w}) > 2 AND substr({w},1,1) = '[' "
+           "AND substr({w},length({w}),1) = ']')")
+
+
+def _words_cte(transcripts_path: str) -> str:
+    """Per-word rows with per-word term counts (no-frames parse)."""
+    w = "u.word"
+    return f"""
+words AS (
+  SELECT conv_id, turn_idx, u.word, u.ord,
+         CASE
+           WHEN {ENT_SQL.format(w=w)} THEN 1
+           WHEN {URL_SQL.format(w=w)} THEN 1
+           ELSE len(regexp_extract_all(u.word, '{FSM_SQL}'))
+         END AS term_count,
+         CASE WHEN {ENT_SQL.format(w=w)}
+              THEN lower(substr(u.word, 2, length(u.word) - 2)) END AS ent_value
+  FROM (
+    SELECT conv_id, turn_idx,
+           unnest(string_split_regex(trim(text), '\\s+')) AS word,
+           generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS ord
+    FROM read_parquet('{transcripts_path}')
+    WHERE trim(text) <> ''
+  ) u
+)"""
+
+
+def _mentions_cte(transcripts_path: str, synonyms_path: str) -> str:
+    return f"""
+WITH {_words_cte(transcripts_path)},
+turn_terms AS (
+  SELECT conv_id, turn_idx, CAST(SUM(term_count) AS BIGINT) AS n_terms
+  FROM words GROUP BY conv_id, turn_idx
+),
+turn_off AS (
+  SELECT conv_id, turn_idx, n_terms,
+         CAST(COALESCE(SUM(n_terms) OVER (
+             PARTITION BY conv_id ORDER BY turn_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS term_offset
+  FROM turn_terms
+),
+word_pos AS (
+  SELECT conv_id, turn_idx, word, ord, ent_value,
+         CAST(COALESCE(SUM(term_count) OVER (
+             PARTITION BY conv_id, turn_idx ORDER BY ord
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS pos_in_turn
+  FROM words
+),
+syn AS (
+  SELECT lower(trim(value)) AS sid, MIN(group_id) AS group_id
+  FROM read_parquet('{synonyms_path}') GROUP BY 1
+),
+mentions AS (
+  SELECT wp.conv_id, wp.turn_idx,
+         CAST(wp.pos_in_turn AS BIGINT) AS pos_in_turn,
+         CAST(t.term_offset + wp.pos_in_turn AS BIGINT) AS ind_in_doc,
+         wp.ent_value AS value,
+         CAST(ROW_NUMBER() OVER (PARTITION BY wp.conv_id
+              ORDER BY wp.turn_idx, wp.pos_in_turn) - 1 AS BIGINT) AS ent_id,
+         COALESCE('g' || CAST(s.group_id AS VARCHAR),
+                  'u:' || trim(wp.ent_value)) AS group_key
+  FROM word_pos wp
+  JOIN turn_off t USING (conv_id, turn_idx)
+  LEFT JOIN syn s ON s.sid = trim(wp.ent_value)
+  WHERE wp.ent_value IS NOT NULL
+)"""
+
+
+def mentions_noframes_sql(transcripts_path: str, synonyms_path: str) -> str:
+    return (_mentions_cte(transcripts_path, synonyms_path) + """
+SELECT conv_id, turn_idx, ent_id, pos_in_turn, ind_in_doc, value, group_key
+FROM mentions
+ORDER BY conv_id, ent_id""")
+
+
+def turn_stats_noframes_sql(transcripts_path: str) -> str:
+    return f"""
+WITH {_words_cte(transcripts_path)}
+SELECT conv_id, turn_idx, CAST(SUM(term_count) AS BIGINT) AS n_terms,
+       CAST(SUM(CASE WHEN ent_value IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_mentions
+FROM words GROUP BY conv_id, turn_idx
+ORDER BY conv_id, turn_idx"""
+
+
+def triples_noframes_sql(transcripts_path: str, synonyms_path: str,
+                         seed_path: str, dist_bound: int = 50,
+                         window: int = 50,
+                         no_label: str = "nolabel") -> str:
+    """Full EP1 (frames lexicon empty) in one SQL statement."""
+    return (_mentions_cte(transcripts_path, synonyms_path) + f""",
+cand AS (
+  SELECT m1.conv_id, m1.group_key AS s_group, m2.group_key AS t_group
+  FROM mentions m1
+  JOIN mentions m2
+    ON m1.conv_id = m2.conv_id AND m1.turn_idx = m2.turn_idx
+   AND m1.ent_id <> m2.ent_id
+   AND abs(m1.ind_in_doc - m2.ind_in_doc) <= {dist_bound}
+),
+nolabel_ops AS (
+  SELECT DISTINCT conv_id, s_group, t_group,
+         '{no_label}' AS label, 1 AS priority
+  FROM cand WHERE s_group <> t_group
+),
+seed_g AS (
+  SELECT o.conv_id,
+         COALESCE('g' || CAST(ss.group_id AS VARCHAR),
+                  'u:' || lower(trim(o.source_value))) AS s_group,
+         COALESCE('g' || CAST(st.group_id AS VARCHAR),
+                  'u:' || lower(trim(o.target_value))) AS t_group,
+         o.label, o.seq
+  FROM read_parquet('{seed_path}') o
+  LEFT JOIN syn ss ON ss.sid = lower(trim(o.source_value))
+  LEFT JOIN syn st ON st.sid = lower(trim(o.target_value))
+),
+pre_ops AS (
+  SELECT conv_id, s_group, t_group, label, 0 AS priority
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id, s_group, t_group
+                                 ORDER BY seq) AS rn
+    FROM seed_g WHERE s_group <> t_group
+  ) WHERE rn = 1
+),
+doc_ops AS (
+  SELECT * FROM pre_ops UNION ALL SELECT * FROM nolabel_ops
+),
+expanded AS (
+  SELECT o.conv_id,
+         ms.turn_idx AS turn_idx,
+         ms.ent_id AS s_ent_id, mt.ent_id AS t_ent_id,
+         ms.value AS s_value, mt.value AS t_value,
+         o.s_group, o.t_group, o.label, o.priority,
+         CAST(abs(ms.ind_in_doc - mt.ind_in_doc) AS BIGINT) AS term_dist
+  FROM doc_ops o
+  JOIN mentions ms ON ms.conv_id = o.conv_id AND ms.group_key = o.s_group
+  JOIN mentions mt ON mt.conv_id = o.conv_id AND mt.group_key = o.t_group
+  WHERE ms.ent_id <> mt.ent_id
+    AND ms.turn_idx = mt.turn_idx
+    AND abs(ms.ind_in_doc - mt.ind_in_doc) < {window}
+)
+SELECT conv_id, turn_idx, s_ent_id, t_ent_id, s_value, t_value,
+       s_group, t_group, label, term_dist
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id, s_ent_id, t_ent_id
+                               ORDER BY priority) AS rn
+  FROM expanded
+) WHERE rn = 1
+ORDER BY conv_id, s_ent_id, t_ent_id""")
+
+
+def doc_opinions_noframes_sql(transcripts_path: str, synonyms_path: str,
+                              seed_path: str, dist_bound: int = 50,
+                              no_label: str = "nolabel") -> str:
+    """Doc-level opinions (union of annotators, with priority)."""
+    base = triples_noframes_sql(transcripts_path, synonyms_path, seed_path,
+                                dist_bound=dist_bound)
+    # reuse CTE prefix up to doc_ops by rebuilding: simpler to re-emit
+    prefix = base.split(",\nexpanded AS")[0]
+    return prefix + """
+SELECT conv_id, s_group, t_group, label, CAST(priority AS INT) AS priority
+FROM doc_ops
+ORDER BY conv_id, s_group, t_group, priority"""

@@ -1,0 +1,197 @@
+"""DuckDB oracle SQL for the documents/events/lineitem/folding queries.
+
+These run against the driver's pre-registered views (documents, events,
+lineitem, ...). Semantics mirror ``functions/text_analysis.py`` and
+``functions/dedup.py`` exactly: integer-exact outputs, md5 as the portable
+hash, identical normalization.
+"""
+
+from __future__ import annotations
+
+_NORM = ("trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))")
+_PUNCT = "[,.;:!?()\\[\\]{}\"''«»…—-]"
+_STOP_EN = "('the','a','of','to','and','in','on','for','with')"
+_MARK_DE = "('der','die','das','und','nicht','ein')"
+_MARK_ES = "('el','la','de','y','no','que')"
+
+_TOKENS_CTE = f"""
+toks AS (
+  SELECT doc_id,
+         unnest(string_split({_NORM}, ' ')) AS tok
+  FROM documents
+)"""
+
+# word 3-gram shingles of the normalized text; docs with <3 tokens fall back
+# to the whole normalized text (functions/text_analysis.shingles)
+_SHINGLES_CTE = f"""
+words AS (
+  SELECT doc_id,
+         unnest(string_split({_NORM}, ' ')) AS tok,
+         generate_subscripts(string_split({_NORM}, ' '), 1) AS ord,
+         len(string_split({_NORM}, ' ')) AS n
+  FROM documents
+),
+shingles AS (
+  SELECT w1.doc_id, w1.tok || ' ' || w2.tok || ' ' || w3.tok AS shingle
+  FROM words w1
+  JOIN words w2 ON w2.doc_id = w1.doc_id AND w2.ord = w1.ord + 1
+  JOIN words w3 ON w3.doc_id = w1.doc_id AND w3.ord = w1.ord + 2
+  UNION ALL
+  SELECT doc_id, {_NORM} AS shingle FROM documents
+  WHERE len(string_split({_NORM}, ' ')) < 3
+)"""
+
+
+def _minhash_aggs(k: int) -> str:
+    return ",\n         ".join(
+        f"MIN(md5('s{i}' || '|' || shingle)) AS minhash_{i}"
+        for i in range(k))
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    # per-token 32-bit hash == Spark conv(substr(md5(tok),1,8),16,10):
+    # bit b lives in hex char (8 - b//4), at position (b % 4) in the nibble.
+    votes = ",\n    ".join(
+        "SUM(CASE WHEN ((strpos('0123456789abcdef', "
+        f"substr(h8, {8 - b // 4}, 1)) - 1) >> {b % 4}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(bits))
+    sim = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN CAST({2 ** b} AS BIGINT) "
+        f"ELSE 0 END)" for b in range(bits))
+    return f"""
+WITH {_TOKENS_CTE},
+hashes AS (
+  SELECT doc_id, substr(md5(tok), 1, 8) AS h8 FROM toks WHERE tok <> ''
+),
+votes AS (
+  SELECT doc_id,
+    {votes}
+  FROM hashes GROUP BY doc_id
+)
+SELECT doc_id, CAST({sim} AS BIGINT) AS simhash FROM votes"""
+
+
+DOC_SQL: dict[str, str] = {
+    "doc_token_stats": f"""
+SELECT doc_id,
+       CAST(len(string_split({_NORM}, ' ')) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT)
+         AS n_chars_nospace
+FROM documents""",
+
+    "doc_quality": f"""
+WITH {_TOKENS_CTE}
+SELECT d.doc_id,
+       CAST(len(string_split({_NORM}, ' ')) AS BIGINT) AS n_tokens,
+       CAST((SELECT COUNT(*) FROM toks t WHERE t.doc_id = d.doc_id
+             AND t.tok IN {_STOP_EN}) AS BIGINT) AS stop_hits,
+       CAST((SELECT COUNT(*) FROM toks t WHERE t.doc_id = d.doc_id
+             AND regexp_matches(t.tok, '^[0-9]+$')) AS BIGINT) AS digit_tokens,
+       CAST(length(text) - length(regexp_replace(text, '{_PUNCT}', '', 'g'))
+            AS BIGINT) AS punct_chars,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents d""",
+
+    "doc_langid": f"""
+WITH {_TOKENS_CTE},
+hits AS (
+  SELECT d.doc_id,
+         CAST((SELECT COUNT(*) FROM toks t WHERE t.doc_id = d.doc_id
+               AND t.tok IN {_MARK_DE}) AS BIGINT) AS hits_de,
+         CAST((SELECT COUNT(*) FROM toks t WHERE t.doc_id = d.doc_id
+               AND t.tok IN {_STOP_EN}) AS BIGINT) AS hits_en,
+         CAST((SELECT COUNT(*) FROM toks t WHERE t.doc_id = d.doc_id
+               AND t.tok IN {_MARK_ES}) AS BIGINT) AS hits_es
+  FROM documents d
+)
+SELECT doc_id, hits_de, hits_en, hits_es,
+       CASE WHEN greatest(hits_de, hits_en, hits_es) = 0 THEN 'unk'
+            WHEN hits_de = greatest(hits_de, hits_en, hits_es) THEN 'de'
+            WHEN hits_en = greatest(hits_de, hits_en, hits_es) THEN 'en'
+            ELSE 'es' END AS pred_lang
+FROM hits""",
+
+    "doc_fingerprints": f"""
+WITH {_SHINGLES_CTE},
+sig AS (
+  SELECT doc_id,
+         {_minhash_aggs(4)}
+  FROM shingles GROUP BY doc_id
+)
+SELECT d.doc_id, md5({_NORM}) AS md5_norm,
+       s.minhash_0, s.minhash_1, s.minhash_2, s.minhash_3
+FROM documents d LEFT JOIN sig s ON s.doc_id = d.doc_id""",
+
+    "dedup_exact": f"""
+SELECT md5({_NORM}) AS text_key,
+       CAST(MIN(doc_id) AS BIGINT) AS canonical_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS dup_count
+FROM documents GROUP BY 1""",
+
+    "dedup_minhash_lsh": f"""
+WITH {_SHINGLES_CTE},
+sig AS (
+  SELECT doc_id,
+         {_minhash_aggs(8)}
+  FROM shingles GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, 0 AS band, minhash_0 || '#' || minhash_1 AS key FROM sig
+  UNION ALL
+  SELECT doc_id, 1, minhash_2 || '#' || minhash_3 FROM sig
+  UNION ALL
+  SELECT doc_id, 2, minhash_4 || '#' || minhash_5 FROM sig
+  UNION ALL
+  SELECT doc_id, 3, minhash_6 || '#' || minhash_7 FROM sig
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id""",
+
+    "dedup_ngram_jaccard": f"""
+WITH {_SHINGLES_CTE},
+sh AS (SELECT DISTINCT doc_id, shingle FROM shingles),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(COUNT(*) AS BIGINT) AS inter_size
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b, i.inter_size,
+       sa.sz AS size_a, sb.sz AS size_b
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE i.inter_size * 1000000 >= 800000 * (sa.sz + sb.sz - i.inter_size)""",
+
+    "dedup_simhash": _simhash_sql(32),
+
+    "events_hourly": """
+SELECT user_id,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(round(value * 10000, 0) AS BIGINT)) AS BIGINT) AS value_e4
+FROM events GROUP BY 1, 2""",
+
+    "lineitem_pricing": """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT)
+         AS sum_qty_e2,
+       CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS sum_base_e2,
+       CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                     AS BIGINT)) AS BIGINT) AS sum_disc_e2,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY 1, 2""",
+
+    "folding_assign": """
+SELECT doc_id,
+       CAST(ntile(5) OVER (ORDER BY md5(CAST(doc_id AS VARCHAR))) AS INT)
+         AS fold
+FROM documents""",
+}

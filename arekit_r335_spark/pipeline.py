@@ -57,12 +57,15 @@ def build_triple_pipeline(spark: SparkSession,
                           inputs: KgInputs,
                           cfg: PipelineConfig | None = None,
                           transcripts: DataFrame | None = None,
-                          persist: bool = True) -> TriplePipelineResult:
+                          persist: bool = True,
+                          frames_override: FramesLexicon | None = None
+                          ) -> TriplePipelineResult:
     cfg = cfg or PipelineConfig()
     if transcripts is None:
         transcripts = spark.read.parquet(inputs.transcripts)
 
-    frames_lex = FramesLexicon.from_json(inputs.frames)
+    frames_lex = (frames_override if frames_override is not None
+                  else FramesLexicon.from_json(inputs.frames))
     seed_syn = load_synonym_seed(inputs.synonyms)
     seed_df = seed_groups_df(spark, seed_syn)
 

@@ -1,0 +1,226 @@
+"""Query registry backing ``__spark_entry__.queries()`` / ``oracle_sql()``.
+
+Each entry is one implemented operator/feature from SURVEY.md §2 (or the
+training-data-pipeline scope of the build brief). Spark callables take
+``(spark, sf_dir)``; the DuckDB oracle SQL for the same key is built by
+``oracles()`` (driver runs both at sf0.01 and compares row-count + schema +
+order-insensitive value hash — so every column is aliased identically on
+both sides and floats are avoided in favor of exact integers).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .config import PipelineConfig
+from .datagen import repo_data_dir
+from .lexicons import FramesLexicon, KgInputs, load_synonym_seed
+from .operators.grouping import seed_groups_df, with_group_key
+from .operators.mentions import mentions_table
+from .operators.parse import parse_transcripts
+from .oracle import duck
+from .pipeline import build_triple_pipeline
+
+
+def _kg(spark: SparkSession, sf_dir: str):
+    data_dir = repo_data_dir(sf_dir)
+    return data_dir, KgInputs.at(data_dir)
+
+
+def _noframes_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, inputs = _kg(spark, sf_dir)
+    cfg = PipelineConfig()
+    tr = spark.read.parquet(inputs.transcripts)
+    parsed = parse_transcripts(tr, FramesLexicon.empty(), cfg)
+    seed_df = seed_groups_df(spark, load_synonym_seed(inputs.synonyms))
+    return with_group_key(mentions_table(parsed), seed_df)
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# --------------------------------------------------------------- KG queries
+
+def q_kg_mentions_noframes(spark, sf_dir):
+    """S8+T1/T2+J1: mention detection, positions, ids, synonym groups
+    (frames lexicon disabled so term positions are SQL-checkable)."""
+    return _noframes_mentions(spark, sf_dir).select(
+        "conv_id", "turn_idx", "ent_id", "pos_in_turn", "ind_in_doc",
+        "value", "group_key")
+
+
+def q_kg_turn_stats_noframes(spark, sf_dir):
+    """A8 analog: per-turn term/mention counts."""
+    _, inputs = _kg(spark, sf_dir)
+    tr = spark.read.parquet(inputs.transcripts)
+    parsed = parse_transcripts(tr, FramesLexicon.empty(), PipelineConfig())
+    return parsed.select(
+        "conv_id", "turn_idx",
+        F.col("n_terms").cast("long").alias("n_terms"),
+        F.size("mentions").cast("long").alias("n_mentions"))
+
+
+def q_kg_triples_noframes(spark, sf_dir):
+    """EP1 end-to-end (frames disabled): the full relational pipeline
+    J2/J3 -> J8 -> U1/J9 -> J6 -> J10/J11 -> triples."""
+    _, inputs = _kg(spark, sf_dir)
+    res = build_triple_pipeline(
+        spark, inputs, PipelineConfig(), persist=False,
+        frames_override=FramesLexicon.empty())
+    return res.triples
+
+
+def q_kg_doc_opinions_noframes(spark, sf_dir):
+    """Doc-level opinion union (J4+J8 predefined, J2/J3+J8 nolabel, U1)."""
+    _, inputs = _kg(spark, sf_dir)
+    res = build_triple_pipeline(
+        spark, inputs, PipelineConfig(), persist=False,
+        frames_override=FramesLexicon.empty())
+    return res.doc_opinions.select(
+        "conv_id", "s_group", "t_group", "label",
+        F.col("priority").cast("int").alias("priority"))
+
+
+def q_kg_triples(spark, sf_dir):
+    """EP1 with the full frame lexicon (rows-only driver check; exact parity
+    is covered by tests/test_pipeline_parity.py against the reference
+    transcription oracle)."""
+    _, inputs = _kg(spark, sf_dir)
+    return build_triple_pipeline(spark, inputs, PipelineConfig(),
+                                 persist=False).triples
+
+
+def q_kg_frame_hits(spark, sf_dir):
+    """T4-T6: frame-variant hits with negation (rows-only: greedy
+    longest-match over the term stream is not expressible in one SQL pass)."""
+    _, inputs = _kg(spark, sf_dir)
+    res = build_triple_pipeline(spark, inputs, PipelineConfig(),
+                                persist=False)
+    return res.frames.select("conv_id", "turn_idx", "pos_in_turn",
+                             "ind_in_doc", "frame_id", "negated")
+
+
+# -------------------------------------------------- documents / embeddings
+
+def q_doc_token_stats(spark, sf_dir):
+    from .functions.text_analysis import token_stats
+    return token_stats(_read(spark, sf_dir, "documents"))
+
+
+def q_doc_quality(spark, sf_dir):
+    from .functions.text_analysis import quality_signals
+    return quality_signals(_read(spark, sf_dir, "documents"))
+
+
+def q_doc_langid(spark, sf_dir):
+    from .functions.text_analysis import langid_scores
+    return langid_scores(_read(spark, sf_dir, "documents"))
+
+
+def q_doc_fingerprints(spark, sf_dir):
+    from .functions.text_analysis import fingerprints
+    return fingerprints(_read(spark, sf_dir, "documents"))
+
+
+def q_dedup_exact(spark, sf_dir):
+    from .functions.dedup import exact_dup_groups
+    return exact_dup_groups(_read(spark, sf_dir, "documents"))
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    from .functions.dedup import lsh_candidate_pairs
+    return lsh_candidate_pairs(_read(spark, sf_dir, "documents"))
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    from .functions.dedup import ngram_jaccard_pairs
+    return ngram_jaccard_pairs(_read(spark, sf_dir, "documents"),
+                               threshold=0.8)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    from .functions.dedup import simhash
+    return simhash(_read(spark, sf_dir, "documents"))
+
+
+# ------------------------------------------------------- misc relational
+
+def q_events_hourly(spark, sf_dir):
+    """Streaming-shaped windowed aggregation, batch form (§2.9): per-user
+    hourly event counts + exact integer value sums."""
+    ev = _read(spark, sf_dir, "events")
+    return (ev.groupBy(
+                "user_id",
+                F.date_format(F.date_trunc("hour", "ts"),
+                              "yyyy-MM-dd HH").alias("hour"))
+            .agg(F.count("*").cast("long").alias("n_events"),
+                 F.sum(F.round(F.col("value") * 10000, 0).cast("long"))
+                  .alias("value_e4")))
+
+
+def q_lineitem_pricing(spark, sf_dir):
+    """A-ops showcase (TPC-H Q1 shape) on the driver's lineitem table."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(F.round(F.col("l_quantity") * 100, 0).cast("long"))
+                  .alias("sum_qty_e2"),
+                 F.sum(F.round(F.col("l_extendedprice") * 100, 0)
+                       .cast("long")).alias("sum_base_e2"),
+                 F.sum(F.round(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount")) * 100, 0)
+                       .cast("long")).alias("sum_disc_e2"),
+                 F.count("*").cast("long").alias("count_order")))
+
+
+def q_folding_assign(spark, sf_dir):
+    """C3 splitter analog: deterministic 5-fold assignment by md5 order."""
+    from pyspark.sql import Window
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    w = Window.orderBy(F.md5(F.col("doc_id").cast("string")))
+    return docs.select("doc_id",
+                       F.ntile(5).over(w).cast("int").alias("fold"))
+
+
+def registry() -> dict:
+    return {
+        "kg_mentions_noframes": q_kg_mentions_noframes,
+        "kg_turn_stats_noframes": q_kg_turn_stats_noframes,
+        "kg_triples_noframes": q_kg_triples_noframes,
+        "kg_doc_opinions_noframes": q_kg_doc_opinions_noframes,
+        "kg_triples": q_kg_triples,
+        "kg_frame_hits": q_kg_frame_hits,
+        "doc_token_stats": q_doc_token_stats,
+        "doc_quality": q_doc_quality,
+        "doc_langid": q_doc_langid,
+        "doc_fingerprints": q_doc_fingerprints,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "events_hourly": q_events_hourly,
+        "lineitem_pricing": q_lineitem_pricing,
+        "folding_assign": q_folding_assign,
+    }
+
+
+def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict:
+    """DuckDB SQL per query key (omissions => driver rows-only check)."""
+    data_dir = repo_data_dir(sf_dir)
+    tr = os.path.join(data_dir, "transcripts.parquet")
+    syn = os.path.join(data_dir, "synonyms.parquet")
+    seed = os.path.join(data_dir, "seed_opinions.parquet")
+    from .oracle import duck_docs
+    out = {
+        "kg_mentions_noframes": duck.mentions_noframes_sql(tr, syn),
+        "kg_turn_stats_noframes": duck.turn_stats_noframes_sql(tr),
+        "kg_triples_noframes": duck.triples_noframes_sql(tr, syn, seed),
+        "kg_doc_opinions_noframes":
+            duck.doc_opinions_noframes_sql(tr, syn, seed),
+    }
+    out.update(duck_docs.DOC_SQL)
+    return out

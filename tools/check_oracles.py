@@ -1,0 +1,96 @@
+"""Local replica of the driver's correctness gate: run every queries() entry
+on Spark AND its oracle_sql() on DuckDB at sf0.01, compare row count, column
+names and order-insensitive values (sorted by column name, rows sorted)."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+
+
+def norm_frame(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(6)
+        df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    h = hashlib.sha256()
+    h.update("\x01".join(df.columns).encode())
+    for row in df.itertuples(index=False):
+        h.update("\x02".join(row).encode())
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
+def main(only: list[str]) -> int:
+    import __spark_entry__ as entrymod
+    from arekit_r335_spark.session import get_spark
+
+    spark = get_spark(app_name="oracle-check", master="local[8]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entrymod.queries()
+    sqls = entrymod.oracle_sql()
+
+    con = duckdb.connect()
+    for name in ["region", "nation", "customer", "supplier", "part",
+                 "orders", "lineitem", "events", "documents", "embeddings"]:
+        path = os.path.join(SF_DIR, f"{name}.parquet")
+        if os.path.exists(path):
+            con.sql(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')")
+
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, SF_DIR).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: spark error {type(e).__name__}: {e}")
+            failures += 1
+            continue
+        t1 = time.time()
+        if name not in sqls:
+            print(f"ok?  {name}: rows={len(sdf)} (rows-only, no oracle) "
+                  f"spark={t1 - t0:.1f}s")
+            if len(sdf) == 0:
+                print(f"WARN {name}: zero rows")
+            continue
+        try:
+            ddf = con.sql(sqls[name]).df()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb error {type(e).__name__}: {e}")
+            failures += 1
+            continue
+        ns, nd = norm_frame(sdf), norm_frame(ddf)
+        ok_rows = len(ns) == len(nd)
+        ok_cols = list(ns.columns) == list(nd.columns)
+        ok_vals = ok_rows and ok_cols and value_hash(ns) == value_hash(nd)
+        status = "PASS" if (ok_rows and ok_cols and ok_vals) else "FAIL"
+        if status == "FAIL":
+            failures += 1
+        print(f"{status} {name}: rows {len(ns)}/{len(nd)} cols_ok={ok_cols} "
+              f"vals_ok={ok_vals} spark={t1 - t0:.1f}s duck={time.time()-t1:.1f}s")
+        if not ok_vals and ok_rows and ok_cols:
+            merged = ns.merge(nd, how="outer", indicator=True)
+            diff = merged[merged["_merge"] != "both"]
+            print(diff.head(6).to_string())
+    return failures
+
+
+if __name__ == "__main__":
+    sys.exit(1 if main(sys.argv[1:]) else 0)
