@@ -92,6 +92,16 @@ def parse_transcripts(transcripts, frames: FramesLexicon, cfg: PipelineConfig,
     from the scan; Catalyst pushes this into the parquet reader.
     """
     udf = make_parse_udf(frames, cfg, with_terms)
+
+    # Distribute the parse stage: a compact parquet scan can yield far fewer
+    # input splits than cores (at real scale the Iceberg table is bucketed by
+    # conv_id and this becomes a no-op repartition to the bucket count).
+    # Hashing by conv_id also pre-aligns the downstream per-conv windows.
+    spark = transcripts.sparkSession
+    parallelism = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    if transcripts.rdd.getNumPartitions() < parallelism:
+        transcripts = transcripts.repartition(parallelism, "conv_id")
+
     cols: list[Column] = [F.col("conv_id"), F.col("turn_idx"), F.col("role")]
     return (transcripts
             .select(*cols, udf(F.col("text")).alias("p"))

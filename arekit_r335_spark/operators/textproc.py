@@ -125,11 +125,19 @@ def scan_frames(terms: list[Term], variants: dict[str, str],
     """
     if not variants or max_variant_len < 2:
         return terms
+    # Pure optimization (identical output): any hit at ``start`` needs a
+    # variant whose FIRST token equals lemmas[start] — one set lookup skips
+    # the size loop for the overwhelmingly common non-candidate positions.
+    first_tokens = _first_token_index(variants)
     lemmas = [t.text.lower() if t.kind == W else None for t in terms]
     out: list[Term] = []
     start = 0
     n = len(terms)
     while start < n:
+        if lemmas[start] is None or lemmas[start] not in first_tokens:
+            out.append(terms[start])
+            start += 1
+            continue
         hit_id, hit_end = None, start
         for size in range(max_variant_len - 1, 0, -1):
             last = start + size - 1
@@ -152,6 +160,19 @@ def scan_frames(terms: list[Term], variants: dict[str, str],
             out.append(terms[start])
             start += 1
     return out
+
+
+_FIRST_TOKEN_CACHE: dict[int, frozenset[str]] = {}
+
+
+def _first_token_index(variants: dict[str, str]) -> frozenset[str]:
+    key = id(variants)
+    cached = _FIRST_TOKEN_CACHE.get(key)
+    if cached is None:
+        cached = frozenset(v.split(" ", 1)[0] for v in variants)
+        _FIRST_TOKEN_CACHE.clear()
+        _FIRST_TOKEN_CACHE[key] = cached
+    return cached
 
 
 def parse_turn(text: str, variants: dict[str, str], max_variant_len: int,

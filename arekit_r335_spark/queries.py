@@ -69,7 +69,7 @@ def q_kg_triples_noframes(spark, sf_dir):
     J2/J3 -> J8 -> U1/J9 -> J6 -> J10/J11 -> triples."""
     _, inputs = _kg(spark, sf_dir)
     res = build_triple_pipeline(
-        spark, inputs, PipelineConfig(), persist=False,
+        spark, inputs, PipelineConfig(), persist=True,
         frames_override=FramesLexicon.empty())
     return res.triples
 
@@ -91,7 +91,7 @@ def q_kg_triples(spark, sf_dir):
     transcription oracle)."""
     _, inputs = _kg(spark, sf_dir)
     return build_triple_pipeline(spark, inputs, PipelineConfig(),
-                                 persist=False).triples
+                                 persist=True).triples
 
 
 def q_kg_frame_hits(spark, sf_dir):

@@ -1,0 +1,138 @@
+"""Benchmark harness (driver contract).
+
+Default: runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "turns_per_sec": ...}
+
+``--scaling`` additionally runs the flagship KG pipeline at local[N] and
+local[4N] (default N=8) on the SAME input and reports throughput at both plus
+scaling efficiency (the sandbox substitute for the N vs 4N executor protocol
+in BASELINE.md) into BENCH_SCALING.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+HEADLINE = [
+    "kg_triples",
+    "kg_triples_noframes",
+    "kg_mentions_noframes",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "doc_fingerprints",
+    "dedup_simhash",
+    "events_hourly",
+]
+
+
+def _sf_of(sf_dir: str) -> float:
+    name = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def run_query(spark, fn, sf_dir: str) -> float:
+    t0 = time.time()
+    df = fn(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
+def make_spark(master: str):
+    from arekit_r335_spark.config import ScaleConfig
+    from arekit_r335_spark.session import get_spark
+    spark = get_spark(app_name="arekit-bench", master=master,
+                      scale=ScaleConfig(shuffle_partitions=32))
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def count_turns(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+    from arekit_r335_spark.datagen import repo_data_dir
+    path = os.path.join(repo_data_dir(sf_dir), "transcripts.parquet")
+    return pq.ParquetFile(path).metadata.num_rows
+
+
+def flagship_wall(master: str, sf_dir: str) -> float:
+    """Full KG triple pipeline wall-clock in a fresh session at ``master``."""
+    from arekit_r335_spark.datagen import repo_data_dir
+    from arekit_r335_spark.lexicons import KgInputs
+    from arekit_r335_spark.pipeline import build_triple_pipeline
+    spark = make_spark(master)
+    try:
+        inputs = KgInputs.at(repo_data_dir(sf_dir))
+        t0 = time.time()
+        res = build_triple_pipeline(spark, inputs, persist=True)
+        res.triples.write.format("noop").mode("overwrite").save()
+        dt = time.time() - t0
+        res.mentions.unpersist()
+        return dt
+    finally:
+        spark.stop()
+
+
+def main() -> None:
+    scaling = "--scaling" in sys.argv
+
+    import __spark_entry__ as entrymod
+    qs = entrymod.queries()
+
+    spark = make_spark(f"local[{CPUS}]")
+    per_query: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        dt = run_query(spark, qs[name], SF_DIR)
+        per_query[name] = round(dt, 3)
+        total += dt
+    turns = count_turns(SF_DIR)
+    flag = per_query.get("kg_triples", 1.0)
+    spark.stop()
+
+    out = {
+        "metric": "headline_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": _sf_of(SF_DIR),
+        "turns": turns,
+        "turns_per_sec": round(turns / flag, 1) if flag > 0 else None,
+    }
+
+    if scaling:
+        n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "8"))
+        t_n = flagship_wall(f"local[{n}]", SF_DIR)
+        t_4n = flagship_wall(f"local[{4 * n}]", SF_DIR)
+        thr_n = turns / t_n
+        thr_4n = turns / t_4n
+        eff = thr_4n / (4 * thr_n)
+        scaling_out = {
+            "cores_n": n, "cores_4n": 4 * n,
+            "sec_n": round(t_n, 2), "sec_4n": round(t_4n, 2),
+            "turns_per_sec_n": round(thr_n, 1),
+            "turns_per_sec_4n": round(thr_4n, 1),
+            "scaling_efficiency": round(eff, 3),
+            "turns": turns, "sf": _sf_of(SF_DIR),
+        }
+        with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
+            json.dump(scaling_out, f, indent=1)
+        out["scaling"] = scaling_out
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
