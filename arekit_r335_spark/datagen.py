@@ -30,6 +30,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 SEED = 42
+DATA_VERSION = 2  # bump when generated fixture contents change
 
 # ---------------------------------------------------------------- vocabularies
 
@@ -203,6 +204,20 @@ def generate(out_dir: str, sf: float, seed: int = SEED) -> None:
     })
     pq.write_table(ops, os.path.join(out_dir, "seed_opinions.parquet"))
 
+    # alias evidence for canonicalization (CC merge work): chain the surfaces
+    # of every open-world group, plus a few no-op in-dictionary aliases
+    alias_rows: list[tuple[str, str]] = []
+    for g, grp in enumerate(ENTITY_GROUPS):
+        if g >= N_SEED_GROUPS and len(grp) > 1:
+            for i in range(len(grp) - 1):
+                alias_rows.append((grp[i], grp[i + 1]))
+    alias_rows += [("USA", "America"), ("Moscow", "Moskva")]
+    al = pa.table({
+        "value_a": pa.array([a for a, _ in alias_rows], pa.string()),
+        "value_b": pa.array([b for _, b in alias_rows], pa.string()),
+    })
+    pq.write_table(al, os.path.join(out_dir, "aliases.parquet"))
+
     with open(os.path.join(out_dir, "frames.json"), "w") as f:
         json.dump(FRAMES, f, indent=1, sort_keys=True)
 
@@ -210,6 +225,9 @@ def generate(out_dir: str, sf: float, seed: int = SEED) -> None:
     types = {v: ENTITY_TYPES[g] for g, grp in enumerate(ENTITY_GROUPS) for v in grp}
     with open(os.path.join(out_dir, "entity_types.json"), "w") as f:
         json.dump(types, f, indent=1, sort_keys=True)
+
+    with open(os.path.join(out_dir, "data_version.txt"), "w") as f:
+        f.write(str(DATA_VERSION))
 
 
 # ------------------------------------------------------------- lazy ensure
@@ -228,15 +246,21 @@ def repo_data_dir(sf_dir: str) -> str:
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        os.pardir, "data", name)
     out = os.path.abspath(out)
-    marker = os.path.join(out, "transcripts.parquet")
-    if not os.path.exists(marker):
-        tmp = out + ".tmp"
+    marker = os.path.join(out, "data_version.txt")
+    current = None
+    if os.path.exists(marker):
+        with open(marker) as f:
+            current = f.read().strip()
+    if current != str(DATA_VERSION):
         import shutil
+        tmp = out + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
         generate(tmp, sf)
         try:
-            os.replace(tmp, out) if not os.path.exists(out) else shutil.rmtree(tmp)
+            shutil.rmtree(out, ignore_errors=True)
+            os.replace(tmp, out)
         except OSError:
+            # lost a concurrent race: keep whichever instance won
             shutil.rmtree(tmp, ignore_errors=True)
     return out
 

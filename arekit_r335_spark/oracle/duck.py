@@ -191,3 +191,87 @@ def doc_opinions_noframes_sql(transcripts_path: str, synonyms_path: str,
 SELECT conv_id, s_group, t_group, label, CAST(priority AS INT) AS priority
 FROM doc_ops
 ORDER BY conv_id, s_group, t_group, priority"""
+
+
+def canonical_nodes_sql(transcripts_path: str, synonyms_path: str,
+                        aliases_path: str) -> str:
+    """Canonicalization oracle: connected components over group keys via a
+    recursive transitive-closure CTE (min node id per component)."""
+    w = "u.word"
+    return f"""
+WITH RECURSIVE
+ment AS (
+  SELECT lower(substr(u.word, 2, length(u.word) - 2)) AS value
+  FROM (
+    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+    FROM read_parquet('{transcripts_path}')
+    WHERE trim(text) <> ''
+  ) u
+  WHERE {ENT_SQL.format(w=w)}
+),
+syn AS (
+  SELECT lower(trim(value)) AS sid, MIN(group_id) AS group_id
+  FROM read_parquet('{synonyms_path}') GROUP BY 1
+),
+grp AS (
+  SELECT COALESCE('g' || CAST(s.group_id AS VARCHAR), 'u:' || m.value)
+           AS group_key,
+         CAST(COUNT(*) AS BIGINT) AS n_mentions
+  FROM ment m LEFT JOIN syn s ON s.sid = m.value
+  GROUP BY 1
+),
+al AS (
+  SELECT COALESCE('g' || CAST(sa.group_id AS VARCHAR),
+                  'u:' || lower(trim(a.value_a))) AS src,
+         COALESCE('g' || CAST(sb.group_id AS VARCHAR),
+                  'u:' || lower(trim(a.value_b))) AS dst
+  FROM read_parquet('{aliases_path}') a
+  LEFT JOIN syn sa ON sa.sid = lower(trim(a.value_a))
+  LEFT JOIN syn sb ON sb.sid = lower(trim(a.value_b))
+),
+edges AS (
+  SELECT src AS a, dst AS b FROM al WHERE src <> dst
+  UNION
+  SELECT dst AS a, src AS b FROM al WHERE src <> dst
+),
+reach(node, root) AS (
+  SELECT a AS node, a AS root FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT e.b AS node, r.root
+  FROM reach r JOIN edges e ON e.a = r.node
+),
+comp AS (SELECT node, MIN(root) AS component FROM reach GROUP BY node)
+SELECT g.group_key,
+       COALESCE(c.component, g.group_key) AS canon_id,
+       g.n_mentions
+FROM grp g LEFT JOIN comp c ON c.node = g.group_key
+ORDER BY g.group_key"""
+
+
+def knn_bruteforce_sql(n_queries: int = 10, k: int = 10, dim: int = 64) -> str:
+    """Exact arithmetic replica of functions/similarity.knn_bruteforce:
+    sequential double fold for dot/norms, rounded-score ranking."""
+    dot = ("list_sum(list_transform(range(1, {d} + 1), "
+           "i -> (q.embedding[i]::DOUBLE) * (c.embedding[i]::DOUBLE)))"
+           .format(d=dim))
+    nq = ("list_sum(list_transform(range(1, {d} + 1), "
+          "i -> (q.embedding[i]::DOUBLE) * (q.embedding[i]::DOUBLE)))"
+          .format(d=dim))
+    nc = ("list_sum(list_transform(range(1, {d} + 1), "
+          "i -> (c.embedding[i]::DOUBLE) * (c.embedding[i]::DOUBLE)))"
+          .format(d=dim))
+    return f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(round({dot} / (sqrt({nq}) * sqrt({nc})) * 100000, 0) AS BIGINT)
+           AS cos_e5
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < {n_queries} AND q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cos_e5 DESC, neighbor_id) AS INT) AS rank,
+       cos_e5
+FROM scored
+QUALIFY rank <= {k}
+ORDER BY query_id, rank"""

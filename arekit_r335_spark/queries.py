@@ -104,6 +104,42 @@ def q_kg_frame_hits(spark, sf_dir):
                              "ind_in_doc", "frame_id", "negated")
 
 
+def q_kg_canonical_nodes(spark, sf_dir):
+    """J7b north-rule canonicalization: alias edges over group keys ->
+    connected components (iterative joins + checkpointing) -> canonical id
+    per synonym group. (group_key, canon_id, n_mentions)."""
+    from .operators.canonical import connected_components, group_alias_edges
+    _, inputs = _kg(spark, sf_dir)
+    mentions = _noframes_mentions(spark, sf_dir)
+    seed_df = seed_groups_df(spark, load_synonym_seed(inputs.synonyms))
+    aliases = spark.read.parquet(inputs.aliases)
+    comps = connected_components(group_alias_edges(mentions, aliases, seed_df))
+    grp = (mentions.groupBy("group_key")
+           .agg(F.count("*").cast("long").alias("n_mentions")))
+    out = grp.join(comps.withColumnRenamed("node", "group_key"),
+                   "group_key", "left")
+    return out.select(
+        "group_key",
+        F.coalesce(F.col("component"), F.col("group_key")).alias("canon_id"),
+        "n_mentions")
+
+
+def q_knn_bruteforce(spark, sf_dir):
+    """Similarity search baseline: exact cosine top-10 for query vectors
+    vec_id < 10 (deterministic integer scores, id tie-breaks)."""
+    from .functions.similarity import knn_bruteforce
+    emb = _read(spark, sf_dir, "embeddings")
+    return knn_bruteforce(emb, list(range(10)), k=10)
+
+
+def q_knn_lsh(spark, sf_dir):
+    """Approximate ANN: sign-random-projection buckets + exact rerank
+    (rows-only check; recall vs brute force is asserted in pytest)."""
+    from .functions.similarity import knn_lsh
+    emb = _read(spark, sf_dir, "embeddings")
+    return knn_lsh(emb, list(range(10)), k=10)
+
+
 # -------------------------------------------------- documents / embeddings
 
 def q_doc_token_stats(spark, sf_dir):
@@ -194,6 +230,9 @@ def registry() -> dict:
         "kg_doc_opinions_noframes": q_kg_doc_opinions_noframes,
         "kg_triples": q_kg_triples,
         "kg_frame_hits": q_kg_frame_hits,
+        "kg_canonical_nodes": q_kg_canonical_nodes,
+        "knn_bruteforce": q_knn_bruteforce,
+        "knn_lsh": q_knn_lsh,
         "doc_token_stats": q_doc_token_stats,
         "doc_quality": q_doc_quality,
         "doc_langid": q_doc_langid,
@@ -221,6 +260,9 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         "kg_triples_noframes": duck.triples_noframes_sql(tr, syn, seed),
         "kg_doc_opinions_noframes":
             duck.doc_opinions_noframes_sql(tr, syn, seed),
+        "kg_canonical_nodes": duck.canonical_nodes_sql(
+            tr, syn, os.path.join(data_dir, "aliases.parquet")),
+        "knn_bruteforce": duck.knn_bruteforce_sql(),
     }
     out.update(duck_docs.DOC_SQL)
     return out
