@@ -84,24 +84,36 @@ def default_planes(dim: int, n_planes: int = 6) -> list[list[float]]:
 
 
 def knn_lsh(embeddings: DataFrame, query_ids: list[int], k: int = 10,
-            n_planes: int = 6, dim: int = 64) -> DataFrame:
-    """Approximate top-k: same-bucket candidates only, exact rerank.
-    Returns the same schema as knn_bruteforce (+ is_exact=false semantics)."""
-    planes = default_planes(dim, n_planes)
-    e = embeddings.select("vec_id", "embedding",
-                          _srp_bucket(F.col("embedding"), planes)
-                          .alias("bucket"))
-    q = (e.filter(F.col("vec_id").isin(query_ids))
+            n_planes: int = 3, n_tables: int = 6, dim: int = 64) -> DataFrame:
+    """Approximate top-k: multi-table sign-LSH (L independent tables of a few
+    planes each — candidate recall 1-(1-p^planes)^tables), union of same-
+    bucket candidates, exact cosine rerank. Schema = knn_bruteforce."""
+    e = embeddings
+    tables = []
+    for t in range(n_tables):
+        planes = default_planes(dim * (t + 1), n_planes)
+        planes = [p[-dim:] for p in planes]   # distinct per-table planes
+        tables.append(e.select(
+            "vec_id", "embedding", F.lit(t).alias("table_id"),
+            _srp_bucket(F.col("embedding"), planes).alias("bucket")))
+    banded = tables[0]
+    for tdf in tables[1:]:
+        banded = banded.unionByName(tdf)
+
+    q = (banded.filter(F.col("vec_id").isin(query_ids))
          .select(F.col("vec_id").alias("query_id"),
                  F.col("embedding").alias("q_emb"),
-                 F.col("bucket")))
-    c = e.select(F.col("vec_id").alias("neighbor_id"),
-                 F.col("embedding").alias("c_emb"), F.col("bucket"))
-    scored = (q.join(c, "bucket")
-              .filter(F.col("query_id") != F.col("neighbor_id"))
-              .select("query_id", "neighbor_id",
-                      cosine_e5(F.col("q_emb"), F.col("c_emb"))
-                      .alias("cos_e5")))
+                 "table_id", "bucket"))
+    c = banded.select(F.col("vec_id").alias("neighbor_id"),
+                      F.col("embedding").alias("c_emb"),
+                      "table_id", "bucket")
+    cand = (q.join(c, ["table_id", "bucket"])
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "q_emb", "neighbor_id", "c_emb")
+            .dropDuplicates(["query_id", "neighbor_id"]))
+    scored = cand.select("query_id", "neighbor_id",
+                         cosine_e5(F.col("q_emb"), F.col("c_emb"))
+                         .alias("cos_e5"))
     w = Window.partitionBy("query_id").orderBy(F.col("cos_e5").desc(),
                                                F.col("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w).cast("int"))

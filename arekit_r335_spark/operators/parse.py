@@ -39,6 +39,7 @@ FRAME_T = StructType([
 TERM_T = StructType([
     StructField("kind", StringType()),
     StructField("text", StringType()),
+    StructField("aux", StringType()),   # frame terms: matched variant phrase
 ])
 
 PARSE_SCHEMA = StructType([
@@ -72,8 +73,8 @@ def make_parse_udf(frames: FramesLexicon, cfg: PipelineConfig,
                                 "negated": bool(t.negated)}
                                for i, t in enumerate(terms) if t.kind == tp.F])
             if with_terms:
-                terms_out.append([{"kind": t.kind, "text": t.text}
-                                  for t in terms])
+                terms_out.append([{"kind": t.kind, "text": t.text,
+                                   "aux": t.aux} for t in terms])
         data = {"n_terms": pd.Series(n_terms, dtype="int32"),
                 "mentions": mentions, "frames": frames_out}
         if with_terms:

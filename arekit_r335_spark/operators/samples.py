@@ -1,0 +1,143 @@
+"""EP2 — ML sample serialization (SURVEY.md §3 EP2, §2.2 T9/T10).
+
+Reference flow (``BaseSampleRowProvider._fill_row_core``,
+``common/data/input/providers/rows/samples.py:61-101``): one flat row per
+text opinion with columns exactly as ``common/data/const.py`` +
+``text_a`` (``providers/text/single.py:7``):
+
+    id, doc_id, sent_ind, label, text_a, entity_values, entity_types,
+    entities, s_ind, t_ind
+
+``text_a`` masking (``OpinionContainingTextTermsMapper.map_entity``,
+``common/data/input/terms_mapper.py:54-67`` + sharp formatter
+``str_simple_sharp_prefixed_fmt.py:5-15``): the source mention and its
+synonym-group peers -> ``#S``; target + peers -> ``#O``; other entities ->
+``#E``; tokens -> their ``<[...]>`` meta values; frame terms -> the matched
+variant phrase (``terms_mapper.py:84-86``).
+
+Spark realization: NO per-row Python — one join of triples to the per-turn
+term arrays, then JVM higher-order ``transform`` with an index does the
+masking; the reference's two-pass idle/count storage protocol is dropped
+(SURVEY.md §4: columnar writers need no preallocation). The reference's
+sequential sample ids (``row_ids/base.py:27-39``) become content-derived
+``o{conv}_{s}_{t}_i0`` keys (partition-count-invariant; SURVEY §7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+UINT_SCALE = {"nolabel": 0, "pos": 1, "neg": 2}
+
+
+def _group_expr(value_expr, seed_map_col):
+    return F.coalesce(F.element_at(seed_map_col, value_expr),
+                      F.concat(F.lit("u:"), value_expr))
+
+
+def build_samples(triples_pos: DataFrame, parsed_terms: DataFrame,
+                  seed_groups: dict[str, str],
+                  types_map: dict[str, str] | None = None,
+                  store_labels: bool = True) -> DataFrame:
+    """triples_pos: triples carrying s_pos/t_pos (in-turn indices);
+    parsed_terms: (conv_id, turn_idx, terms array) from parse(with_terms).
+
+    Returns the flat sample table with the reference's column set."""
+    kv = []
+    for k, v in sorted(seed_groups.items()):
+        kv += [F.lit(k), F.lit(v)]
+    seed_map = F.create_map(*kv) if kv else F.create_map().cast(
+        "map<string,string>")
+    tv = []
+    for k, v in sorted((types_map or {}).items()):
+        tv += [F.lit(k), F.lit(v)]
+    types_col = F.create_map(*tv) if tv else F.create_map().cast(
+        "map<string,string>")
+
+    t = triples_pos.alias("t")
+    p = parsed_terms.select("conv_id", "turn_idx", "terms").alias("p")
+    j = t.join(p, (F.col("t.conv_id") == F.col("p.conv_id"))
+               & (F.col("t.turn_idx") == F.col("p.turn_idx")))
+
+    terms = F.col("p.terms")
+    s_grp = _group_expr(F.col("t.s_value"), seed_map)
+    t_grp = _group_expr(F.col("t.t_value"), seed_map)
+
+    def mask(term, i):
+        ent_group = _group_expr(term["text"], seed_map)
+        ent_mask = (
+            F.when(i == F.col("t.s_pos"), F.lit("#S"))
+            .when(i == F.col("t.t_pos"), F.lit("#O"))
+            .when(ent_group == s_grp, F.lit("#S"))
+            .when(ent_group == t_grp, F.lit("#O"))
+            .otherwise(F.lit("#E")))
+        return (F.when(term["kind"] == "e", ent_mask)
+                .when(term["kind"] == "f", term["aux"])
+                .otherwise(term["text"]))
+
+    text_a = F.array_join(F.transform(terms, mask), " ")
+
+    ent_terms = F.filter(terms, lambda x: x["kind"] == "e")
+    entity_values = F.array_join(
+        F.transform(ent_terms,
+                    lambda x: F.regexp_replace(x["text"], ",", "")), ",")
+    entity_types = F.array_join(
+        F.transform(ent_terms,
+                    lambda x: F.coalesce(F.element_at(types_col, x["text"]),
+                                         F.lit(""))), ",")
+    # in-sentence indices of entity terms
+    idx = F.sequence(F.lit(0), F.size(terms) - 1)
+    ent_inds = F.filter(idx, lambda i: F.element_at(terms, i + 1)["kind"]
+                        == F.lit("e"))
+    entities = F.array_join(F.transform(ent_inds,
+                                        lambda i: i.cast("string")), ",")
+
+    label_uint = F.lit(None).cast("int")
+    for lab, v in sorted(UINT_SCALE.items()):
+        label_uint = F.when(F.col("t.label") == lab,
+                            F.lit(v)).otherwise(label_uint)
+
+    cols = [
+        F.concat(F.lit("o"), F.col("t.conv_id"), F.lit("_"),
+                 F.col("t.s_ent_id").cast("string"), F.lit("_"),
+                 F.col("t.t_ent_id").cast("string"),
+                 F.lit("_i0")).alias("id"),
+        F.col("t.conv_id").alias("doc_id"),
+        F.col("t.turn_idx").cast("int").alias("sent_ind"),
+    ]
+    if store_labels:
+        cols.append(label_uint.alias("label"))
+    cols += [
+        text_a.alias("text_a"),
+        entity_values.alias("entity_values"),
+        entity_types.alias("entity_types"),
+        entities.alias("entities"),
+        F.col("t.s_pos").cast("long").alias("s_ind"),
+        F.col("t.t_pos").cast("long").alias("t_ind"),
+    ]
+    return j.select(*cols)
+
+
+def balance_by_label(samples: DataFrame, seed: int = 42) -> DataFrame:
+    """A3 — oversample every label class to the majority size
+    (``PandasBasedRowsStorage._balance``, ``pandas_based.py:63-79``), made
+    deterministic: each row is repeated ceil/floor-deterministically via a
+    content hash instead of RNG sampling."""
+    counts = samples.groupBy("label").agg(F.count("*").alias("n"))
+    mx = counts.agg(F.max("n").alias("mx"))
+    plan = counts.crossJoin(mx).select(
+        "label",
+        (F.col("mx") / F.col("n")).alias("ratio"),
+        ((F.col("mx") % F.col("n"))).alias("rem"),
+        F.col("n"))
+    s = samples.join(F.broadcast(plan), "label")
+    # deterministic per-row rank within its class by content hash
+    from pyspark.sql import Window
+    w = Window.partitionBy("label").orderBy(F.xxhash64("id", F.lit(seed)))
+    s = s.withColumn("__rk", F.row_number().over(w) - 1)
+    reps = (F.floor("ratio")
+            + F.when(F.col("__rk") < F.col("rem"), 1).otherwise(0))
+    return (s.withColumn("__rep", F.explode(F.sequence(F.lit(1),
+                                                       reps.cast("int"))))
+            .drop("ratio", "rem", "n", "__rk", "__rep"))

@@ -66,6 +66,8 @@ class Term(NamedTuple):
     kind: str     # w | t | e | f
     text: str     # word (raw) | token value | entity value (lower) | frame_id
     negated: bool = False
+    aux: str = ""  # frames only: the matched variant phrase
+                   # (``FrameVariant.get_value``, frames/variants/base.py:14-15)
 
 
 def is_url(word: str) -> bool:
@@ -148,13 +150,13 @@ def scan_frames(terms: list[Term], variants: dict[str, str],
             phrase = " ".join(lemmas[start:last + 1])
             fid = variants.get(phrase)
             if fid is not None:
-                hit_id, hit_end = fid, last
+                hit_id, hit_end, hit_phrase = fid, last, phrase
                 break
         if hit_id is not None:
             prev = out[-1] if out else None
             negated = (prev is not None and prev.kind == W
                        and prev.text.lower() in negation_words)
-            out.append(Term(F, hit_id, negated))
+            out.append(Term(F, hit_id, negated, hit_phrase))
             start = hit_end + 1
         else:
             out.append(terms[start])

@@ -275,3 +275,75 @@ SELECT query_id, neighbor_id,
 FROM scored
 QUALIFY rank <= {k}
 ORDER BY query_id, rank"""
+
+
+def eval_prf_noframes_sql(synonyms_path: str, seed_path: str) -> str:
+    """J14+A4 oracle: etalon = predefined doc opinions from the seed file;
+    test = deterministic md5-flip of labels; Extraction-mode full-outer
+    comparison; per-doc per-class exact counts + per-row P/R divisions."""
+    return f"""
+WITH syn AS (
+  SELECT lower(trim(value)) AS sid, MIN(group_id) AS group_id
+  FROM read_parquet('{synonyms_path}') GROUP BY 1
+),
+seed_g AS (
+  SELECT o.conv_id,
+         COALESCE('g' || CAST(ss.group_id AS VARCHAR),
+                  'u:' || lower(trim(o.source_value))) AS s_group,
+         COALESCE('g' || CAST(st.group_id AS VARCHAR),
+                  'u:' || lower(trim(o.target_value))) AS t_group,
+         o.label, o.seq
+  FROM read_parquet('{seed_path}') o
+  LEFT JOIN syn ss ON ss.sid = lower(trim(o.source_value))
+  LEFT JOIN syn st ON st.sid = lower(trim(o.target_value))
+),
+etalon AS (
+  SELECT conv_id, s_group, t_group, label
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id, s_group, t_group
+                                 ORDER BY seq) AS rn
+    FROM seed_g WHERE s_group <> t_group
+  ) WHERE rn = 1
+),
+test AS (
+  SELECT conv_id, s_group, t_group,
+         CASE WHEN substr(md5(conv_id || '|' || s_group || '|' || t_group),
+                          1, 1) < '4'
+              THEN CASE label WHEN 'pos' THEN 'neg'
+                              WHEN 'neg' THEN 'pos' ELSE label END
+              ELSE label END AS label
+  FROM etalon
+),
+cmp AS (
+  SELECT COALESCE(e.conv_id, t.conv_id) AS conv_id,
+         e.label AS etalon_label, t.label AS test_label,
+         COALESCE(e.label = t.label, FALSE) AS comparison
+  FROM etalon e
+  FULL OUTER JOIN test t
+    ON e.conv_id = t.conv_id AND e.s_group = t.s_group
+   AND e.t_group = t.t_group
+),
+per AS (
+  SELECT conv_id, 'pos' AS label,
+         CAST(SUM(CASE WHEN comparison AND test_label = 'pos'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN test_label = 'pos' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_test,
+         CAST(SUM(CASE WHEN etalon_label = 'pos' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_etalon
+  FROM cmp GROUP BY conv_id
+  UNION ALL
+  SELECT conv_id, 'neg',
+         CAST(SUM(CASE WHEN comparison AND test_label = 'neg'
+                       THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(SUM(CASE WHEN test_label = 'neg' THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(SUM(CASE WHEN etalon_label = 'neg' THEN 1 ELSE 0 END) AS BIGINT)
+  FROM cmp GROUP BY conv_id
+)
+SELECT conv_id, label, tp, n_test, n_etalon,
+       round(CASE WHEN n_test <> 0 THEN tp::DOUBLE / n_test
+                  WHEN n_etalon > 0 THEN 0.0 ELSE 1.0 END, 6) AS prec,
+       round(CASE WHEN n_etalon <> 0 THEN tp::DOUBLE / n_etalon
+                  WHEN n_etalon > 0 THEN 0.0 ELSE 1.0 END, 6) AS rec
+FROM per
+ORDER BY conv_id, label"""

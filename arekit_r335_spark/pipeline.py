@@ -40,6 +40,7 @@ class TriplePipelineResult:
     mentions: DataFrame
     frames: DataFrame
     doc_opinions: DataFrame
+    text_opinions: DataFrame   # deduped mention-level rows incl. positions
     triples: DataFrame
 
 
@@ -96,11 +97,35 @@ def build_triple_pipeline(spark: SparkSession,
     doc_opinions = union_annotators(predefined, nolabel)
 
     expanded = expand_to_text_opinions(doc_opinions, mentions, cfg)
-    triples = triples_schema_select(dedup_across_annotators(expanded))
+    text_opinions = dedup_across_annotators(expanded)
+    triples = triples_schema_select(text_opinions)
 
     return TriplePipelineResult(
         mentions=mentions,
         frames=frames_table(parsed),
         doc_opinions=doc_opinions,
+        text_opinions=text_opinions,
         triples=triples,
     )
+
+
+def build_samples_pipeline(spark: SparkSession, inputs: KgInputs,
+                           cfg: PipelineConfig | None = None,
+                           store_labels: bool = True) -> DataFrame:
+    """EP2: triples -> flat ML sample rows (operators/samples.py)."""
+    from .operators.samples import build_samples
+
+    cfg = cfg or PipelineConfig()
+    res = build_triple_pipeline(spark, inputs, cfg)
+    frames_lex = FramesLexicon.from_json(inputs.frames)
+    parsed_full = parse_transcripts(spark.read.parquet(inputs.transcripts),
+                                    frames_lex, cfg, with_terms=True)
+    seed = load_synonym_seed(inputs.synonyms)
+    seed_groups = {r.sid: f"g{int(r.group_id)}" for r in seed.itertuples()}
+    triples_pos = res.text_opinions.select(
+        "conv_id", F.col("s_turn").alias("turn_idx"),
+        "s_ent_id", "t_ent_id", "s_value", "t_value", "label",
+        "s_pos", "t_pos")
+    return build_samples(triples_pos, parsed_full, seed_groups,
+                         types_map=load_entity_types(inputs.entity_types),
+                         store_labels=store_labels)

@@ -140,6 +140,48 @@ def q_knn_lsh(spark, sf_dir):
     return knn_lsh(emb, list(range(10)), k=10)
 
 
+def _eval_pair_dfs(spark, sf_dir):
+    """Deterministic etalon/test fixture: etalon = predefined doc opinions;
+    test = etalon with labels flipped where md5(key) starts with 0-3 (both
+    engines compute the identical flip)."""
+    _, inputs = _kg(spark, sf_dir)
+    res = build_triple_pipeline(
+        spark, inputs, PipelineConfig(), persist=False,
+        frames_override=FramesLexicon.empty())
+    etalon = (res.doc_opinions.filter(F.col("priority") == 0)
+              .select("conv_id", "s_group", "t_group", "label"))
+    flip = F.substring(
+        F.md5(F.concat_ws("|", "conv_id", "s_group", "t_group")), 1, 1) < "4"
+    test = etalon.withColumn(
+        "label",
+        F.when(flip & (F.col("label") == "pos"), F.lit("neg"))
+         .when(flip & (F.col("label") == "neg"), F.lit("pos"))
+         .otherwise(F.col("label")))
+    return etalon, test
+
+
+def q_eval_prf_noframes(spark, sf_dir):
+    """J14 + A4: per-doc per-class P/R counts over a deterministic
+    etalon-vs-test comparison (Extraction mode), exact integer counts +
+    per-row divisions only (engine-portable floats)."""
+    from .operators.evaluate import compare_opinions, per_doc_class_prf
+    etalon, test = _eval_pair_dfs(spark, sf_dir)
+    cmp = compare_opinions(etalon, test)
+    out = per_doc_class_prf(cmp)
+    return out.select(F.col("doc").alias("conv_id"), "label", "tp", "n_test",
+                      "n_etalon",
+                      F.round("prec", 6).alias("prec"),
+                      F.round("rec", 6).alias("rec"))
+
+
+def q_kg_samples(spark, sf_dir):
+    """EP2 sample serialization (T9/T10 masking; rows-only — masking
+    invariants are pytest-asserted per sample row)."""
+    from .pipeline import build_samples_pipeline
+    _, inputs = _kg(spark, sf_dir)
+    return build_samples_pipeline(spark, inputs)
+
+
 # -------------------------------------------------- documents / embeddings
 
 def q_doc_token_stats(spark, sf_dir):
@@ -233,6 +275,8 @@ def registry() -> dict:
         "kg_canonical_nodes": q_kg_canonical_nodes,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_lsh": q_knn_lsh,
+        "eval_prf_noframes": q_eval_prf_noframes,
+        "kg_samples": q_kg_samples,
         "doc_token_stats": q_doc_token_stats,
         "doc_quality": q_doc_quality,
         "doc_langid": q_doc_langid,
@@ -263,6 +307,7 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         "kg_canonical_nodes": duck.canonical_nodes_sql(
             tr, syn, os.path.join(data_dir, "aliases.parquet")),
         "knn_bruteforce": duck.knn_bruteforce_sql(),
+        "eval_prf_noframes": duck.eval_prf_noframes_sql(syn, seed),
     }
     out.update(duck_docs.DOC_SQL)
     return out

@@ -1,0 +1,154 @@
+"""EP2 sample serialization, writers (S9/S10/S7), folding (C1-C5),
+BRAT ingestion (S1/S3/J13), multimodal plumbing."""
+
+import glob
+import gzip
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from arekit_r335_spark.lexicons import KgInputs
+from arekit_r335_spark.pipeline import build_samples_pipeline
+
+
+def test_samples_schema_and_masking(spark, sf0001_dir):
+    samples = build_samples_pipeline(spark, KgInputs.at(sf0001_dir))
+    assert samples.columns == ["id", "doc_id", "sent_ind", "label", "text_a",
+                               "entity_values", "entity_types", "entities",
+                               "s_ind", "t_ind"]
+    rows = samples.limit(200).collect()
+    assert rows
+    for r in rows[:50]:
+        toks = r.text_a.split(" ")
+        # masked subject/object at the recorded in-sentence indices
+        assert toks[r.s_ind] == "#S"
+        assert toks[r.t_ind] == "#O"
+        # every entity token masked as #S/#O/#E
+        ent_inds = [int(i) for i in r.entities.split(",") if i != ""]
+        assert all(toks[i] in ("#S", "#O", "#E") for i in ent_inds)
+        assert len(ent_inds) == len(r.entity_values.split(","))
+
+
+def test_samples_balance(spark, sf0001_dir):
+    from arekit_r335_spark.operators.samples import balance_by_label
+    samples = build_samples_pipeline(spark, KgInputs.at(sf0001_dir))
+    balanced = balance_by_label(samples)
+    counts = {r.label: r.n for r in
+              balanced.groupBy("label").agg(F.count("*").alias("n")).collect()}
+    assert len(set(counts.values())) == 1  # all classes at majority size
+
+
+def test_writers_roundtrip(spark, sf0001_dir, tmp_path):
+    from arekit_r335_spark.sources.writers import (read_opinions_txt,
+                                                   write_opinions_txt,
+                                                   write_samples_opennre,
+                                                   write_samples_tsv_gz)
+    samples = build_samples_pipeline(spark, KgInputs.at(sf0001_dir)).limit(50)
+
+    tsv_dir = str(tmp_path / "tsv")
+    write_samples_tsv_gz(samples, tsv_dir, single_file=True)
+    part = glob.glob(os.path.join(tsv_dir, "part-*.csv.gz"))[0]
+    with gzip.open(part, "rt") as f:
+        header = f.readline().strip().split("\t")
+    assert header[:4] == ["id", "doc_id", "sent_ind", "label"]
+
+    nre_dir = str(tmp_path / "nre")
+    write_samples_opennre(samples, nre_dir, single_file=True)
+    part = glob.glob(os.path.join(nre_dir, "part-*"))
+    line = open([p for p in part if "part-" in p][0]).readline()
+    bag = json.loads(line)
+    assert set(bag) == {"id_orig", "token", "h", "t", "relation"}
+    assert bag["token"][bag["h"]["pos"][0]] == "#S"
+
+    ops = spark.createDataFrame(
+        [("usa", "russia", "pos"), ("a", "b", "neg")],
+        "s_value string, t_value string, label string")
+    op_dir = str(tmp_path / "ops")
+    write_opinions_txt(ops, op_dir)
+    back = read_opinions_txt(spark, op_dir)
+    assert {tuple(r) for r in back.collect()} == \
+        {("usa", "russia", "pos"), ("a", "b", "neg")}
+
+
+def test_folding_ops(spark):
+    from arekit_r335_spark.operators.folding import (
+        cv_fold_state, cv_folding, no_folding, stat_balanced_cv_folding,
+        united_folding)
+    docs = spark.createDataFrame([(f"c{i}",) for i in range(30)],
+                                 "conv_id string")
+    nf = no_folding(docs)
+    assert nf.count() == 30
+
+    cv = cv_folding(docs, 3)
+    sizes = [r.n for r in cv.groupBy("fold").agg(
+        F.count("*").alias("n")).collect()]
+    assert sorted(sizes) == [10, 10, 10]
+    # determinism
+    cv2 = cv_folding(docs.repartition(5), 3)
+    assert {tuple(r) for r in cv.collect()} == {tuple(r) for r in cv2.collect()}
+
+    state = cv_fold_state(cv, 0)
+    assert state.filter(F.col("data_type") == "test").count() == 10
+
+    stats = spark.createDataFrame(
+        [(f"c{i}", (i % 7) + 1) for i in range(30)],
+        "conv_id string, n_sents int")
+    bal = stat_balanced_cv_folding(stats, 3)
+    loads = (bal.join(stats, "conv_id").groupBy("fold")
+             .agg(F.sum("n_sents").alias("w")).collect())
+    ws = [r.w for r in loads]
+    assert max(ws) - min(ws) <= 7  # greedy balance within one max weight
+
+    un = united_folding(nf, state)
+    assert un.count() == 60
+
+
+def test_brat_ingestion(spark):
+    from arekit_r335_spark.sources.brat import (
+        assign_entities_to_sentences, merge_overlapping_entities,
+        parse_ann_lines)
+    lines = [
+        (0, "T1\tORG 0 6\tКремль"),
+        (0, "T2\tPERSON 10 15\tПутин"),
+        (0, "T3\tGPE 12 20\tOverlap"),        # overlaps T2 -> dropped
+        (0, "R1\tPOSITIVE_TO Arg1:T1 Arg2:T2"),
+    ]
+    raw = spark.createDataFrame(lines, "doc_id int, value string")
+    parsed = parse_ann_lines(raw)
+    ents = parsed["entities"].orderBy("ann_id").collect()
+    assert [e.value for e in ents] == ["кремль", "путин", "overlap"]
+    assert ents[0].begin == 0 and ents[0].end == 6
+    rels = parsed["relations"].collect()
+    assert rels[0].src_ann_id == 1 and rels[0].tgt_ann_id == 2
+
+    merged = merge_overlapping_entities(parsed["entities"])
+    assert {e.ann_id for e in merged.collect()} == {1, 2}
+
+    sents = spark.createDataFrame([(0, 0, 0, 8), (0, 1, 9, 30)],
+                                  "doc_id int, sent_ind int, "
+                                  "ind_begin long, ind_end long")
+    assigned = assign_entities_to_sentences(parsed["entities"], sents)
+    by_id = {r.ann_id: r.sent_ind for r in assigned.collect()}
+    assert by_id == {1: 0, 2: 1, 3: 1}
+
+
+def test_multimodal_plumbing(spark):
+    from arekit_r335_spark.functions.multimodal import (
+        decode_stub, extract_features, frame_sample_plan, synth_media)
+    import pytest
+    media = synth_media(spark, 30)
+    feats = extract_features(media).collect()
+    assert len(feats) == 30
+    assert all(len(r.feature) == 8 for r in feats)
+    assert all(r.n_bytes > 0 for r in feats)
+    # deterministic across partitionings
+    feats2 = {r.media_id: r.sha256
+              for r in extract_features(media.repartition(7)).collect()}
+    assert feats2 == {r.media_id: r.sha256 for r in feats}
+
+    plan = frame_sample_plan(media, every_ms=1000)
+    assert plan.filter(F.col("frame_ts_ms") % 1000 != 0).count() == 0
+
+    with pytest.raises(NotImplementedError):
+        decode_stub(b"x", "image", fake=False)

@@ -1,0 +1,88 @@
+"""Similarity search + dedup semantics tests (beyond the DuckDB oracle):
+LSH recall vs brute force, near-dup detection on planted duplicates."""
+
+from pyspark.sql import functions as F
+
+
+def test_knn_lsh_recall(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    from arekit_r335_spark.functions.similarity import (knn_bruteforce,
+                                                        knn_lsh)
+    qids = list(range(10))
+    exact = knn_bruteforce(emb, qids, k=5).collect()
+    approx = knn_lsh(emb, qids, k=5).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [len(exact_sets[q] & approx_sets.get(q, set()))
+               / len(exact_sets[q]) for q in exact_sets]
+    # 4 planes -> 16 buckets over 500 vectors; sign-LSH should recover a
+    # reasonable share of true neighbors
+    assert sum(recalls) / len(recalls) >= 0.2
+
+
+def test_exact_dedup_finds_planted_dups(spark):
+    docs = spark.createDataFrame(
+        [(1, "The  Quick brown fox"), (2, "the quick BROWN fox"),
+         (3, "something else"), (4, "something  ELSE "), (5, "unique")],
+        "doc_id long, text string")
+    from arekit_r335_spark.functions.dedup import exact_dup_groups
+    groups = exact_dup_groups(docs).collect()
+    sizes = sorted(r.dup_count for r in groups)
+    assert sizes == [1, 2, 2]
+    canon = {r.canonical_doc_id for r in groups if r.dup_count == 2}
+    assert canon == {1, 3}
+
+
+def test_jaccard_pairs_on_near_dups(spark):
+    base = "a b c d e f g h i j k l m n o p"
+    near = "a b c d e f g h i j k l m n o q"   # one token differs
+    far = "z y x w v u t s r q p o n m l k"
+    docs = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string")
+    from arekit_r335_spark.functions.dedup import ngram_jaccard_pairs
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    assert {(p.doc_a, p.doc_b) for p in pairs} == {(1, 2)}
+
+
+def test_minhash_lsh_catches_exact_dups(spark):
+    docs = spark.createDataFrame(
+        [(i, f"common prefix tokens here {i % 2}") for i in range(6)],
+        "doc_id long, text string")
+    from arekit_r335_spark.functions.dedup import lsh_candidate_pairs
+    pairs = {(p.doc_a, p.doc_b) for p in lsh_candidate_pairs(docs).collect()}
+    # identical texts (same parity) must collide in every band
+    assert (0, 2) in pairs and (1, 3) in pairs and (2, 4) in pairs
+
+
+def test_simhash_similarity_property(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon eta"),
+         (3, "totally different words entirely here now")],
+        "doc_id long, text string")
+    from arekit_r335_spark.functions.dedup import simhash
+    h = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    assert hamming(h[1], h[2]) < hamming(h[1], h[3])
+
+
+def test_embedding_near_dup(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),     # near-dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0, 0.0]),       # opposite bucket
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    from arekit_r335_spark.functions.dedup import embedding_near_dup
+    pairs = {(r.vec_a, r.vec_b) for r in
+             embedding_near_dup(emb, threshold=0.95, bucket_dims=4).collect()}
+    assert (1, 2) in pairs
+    assert all(p in {(1, 2), (1, 3), (2, 3)} for p in pairs)

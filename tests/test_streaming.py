@@ -1,0 +1,63 @@
+"""Structured Streaming tests: foreachBatch triple extraction equals the
+batch pipeline; watermarked windowed aggregation runs availableNow."""
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from arekit_r335_spark.lexicons import KgInputs
+from arekit_r335_spark.pipeline import build_triple_pipeline
+
+
+def _stage_stream_input(spark, sf_dir, stream_dir, n_files=3):
+    """Split the transcripts table into per-conv-bucket files so every
+    conversation is complete within one file."""
+    tr = spark.read.parquet(os.path.join(sf_dir, "transcripts.parquet"))
+    for b in range(n_files):
+        (tr.filter(F.pmod(F.xxhash64("conv_id"), F.lit(n_files)) == b)
+         .coalesce(1).write.mode("overwrite")
+         .parquet(os.path.join(stream_dir, f"in_{b}")))
+        # move part files up so the stream dir is a flat file listing
+    out = os.path.join(stream_dir, "flat")
+    os.makedirs(out, exist_ok=True)
+    for b in range(n_files):
+        src = os.path.join(stream_dir, f"in_{b}")
+        for f in os.listdir(src):
+            if f.endswith(".parquet"):
+                shutil.copy(os.path.join(src, f),
+                            os.path.join(out, f"b{b}_{f}"))
+    return out
+
+
+def test_stream_triples_match_batch(spark, sf0001_dir, tmp_path):
+    from arekit_r335_spark.streaming.stream import stream_triples_to_sink
+    stream_dir = _stage_stream_input(spark, sf0001_dir, str(tmp_path / "s"))
+    out_dir = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    inputs = KgInputs.at(sf0001_dir)
+    q = stream_triples_to_sink(spark, inputs, stream_dir, out_dir, ck)
+    q.awaitTermination(300)
+
+    got = {tuple(r) for r in spark.read.parquet(out_dir)
+           .select("conv_id", "s_ent_id", "t_ent_id", "label").collect()}
+    want = {tuple(r) for r in
+            build_triple_pipeline(spark, inputs, persist=False).triples
+            .select("conv_id", "s_ent_id", "t_ent_id", "label").collect()}
+    assert got == want
+
+
+def test_streaming_windowed_counts(spark, sf0001_dir, tmp_path):
+    from arekit_r335_spark.streaming.stream import streaming_turn_rates
+    stream_dir = _stage_stream_input(spark, sf0001_dir, str(tmp_path / "s2"))
+    out_dir = str(tmp_path / "agg")
+    ck = str(tmp_path / "ck2")
+    q = streaming_turn_rates(spark, stream_dir, out_dir, ck)
+    q.awaitTermination(300)
+    # availableNow + append mode: windows older than the watermark emitted
+    got = spark.read.parquet(out_dir)
+    total_stream = got.agg(F.sum("n_turns")).first()[0] or 0
+    tr = spark.read.parquet(os.path.join(sf0001_dir, "transcripts.parquet"))
+    assert total_stream <= tr.count()
+    assert got.columns == ["window_start", "role", "n_turns"]
