@@ -68,6 +68,21 @@ def load_synonym_seed(path: str) -> pd.DataFrame:
     return df[["group_id", "sid"]].reset_index(drop=True)
 
 
+def load_synonyms_csv_lines(lines: list[str]) -> pd.DataFrame:
+    """S6 — the reference's native synonym format: one group per line,
+    comma-separated values (``contrib/source/synonyms/utils.py:4-18``).
+    Returns the same (group_id, sid) frame as ``load_synonym_seed``."""
+    rows = []
+    for group_id, line in enumerate(lines):
+        for value in line.split(","):
+            v = value.strip()
+            if v:
+                rows.append((group_id, v.lower()))
+    df = pd.DataFrame(rows, columns=["group_id", "sid"])
+    return df.drop_duplicates(subset=["sid"], keep="last").reset_index(
+        drop=True)
+
+
 def load_entity_types(path: str) -> dict[str, str]:
     """Optional value(lower) -> entity type map for the J12 filter."""
     if not os.path.exists(path):

@@ -55,6 +55,56 @@ def assign_entities_to_sentences(entities: DataFrame,
             .select("e.*", F.col("s.sent_ind").alias("sent_ind")))
 
 
+def sentences_with_offsets(docs: DataFrame, doc_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """S2 — one sentence per line with char spans ``ind_begin/ind_end``
+    (``BratDocumentSentencesReader._parse_sentences``,
+    ``sentences_reader.py:109-128``: offsets advance by line length + 1 for
+    the newline). Output: (doc_id, sent_ind, sent_text, ind_begin, ind_end)."""
+    from pyspark.sql import Window
+    lines = docs.select(
+        F.col(doc_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n"))
+         .alias("sent_ind", "sent_text"))
+    w = (Window.partitionBy("doc_id").orderBy("sent_ind")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    begin = F.coalesce(F.sum(F.length("sent_text") + 1).over(w),
+                       F.lit(0)).cast("long")
+    return (lines
+            .withColumn("ind_begin", begin)
+            .withColumn("ind_end",
+                        (F.col("ind_begin") + F.length("sent_text"))
+                        .cast("long")))
+
+
+def predefined_from_brat(relations: DataFrame, entities_in_sents: DataFrame,
+                         label_map: dict[str, str],
+                         supported: tuple[str, ...] | None = None) -> DataFrame:
+    """J5 — ``PredefinedTextOpinionAnnotator`` semantics
+    (``contrib/utils/pipelines/text_opinion/annot/predefined.py:12-88``):
+    BRAT relations resolve Arg1/Arg2 to in-document entities via inner joins
+    (unresolvable = dropped nested entities, ``__convert_opinion_id:44-60``),
+    relation types map through the label formatter, unsupported labels are
+    filtered (``:73``)."""
+    lm = [(k, v) for k, v in sorted(label_map.items())]
+    spark = relations.sparkSession
+    lmdf = spark.createDataFrame(lm, "rel_type string, label string")
+    src = entities_in_sents.select(
+        F.col("doc_id"), F.col("ann_id").alias("src_ann_id"),
+        F.col("value").alias("s_value"), F.col("sent_ind").alias("s_sent"))
+    tgt = entities_in_sents.select(
+        F.col("doc_id"), F.col("ann_id").alias("tgt_ann_id"),
+        F.col("value").alias("t_value"), F.col("sent_ind").alias("t_sent"))
+    out = (relations
+           .join(F.broadcast(lmdf), "rel_type")
+           .join(src, ["doc_id", "src_ann_id"])
+           .join(tgt, ["doc_id", "tgt_ann_id"]))
+    if supported is not None:
+        out = out.filter(F.col("label").isin(list(supported)))
+    return out.select("doc_id", "rel_id", "src_ann_id", "tgt_ann_id",
+                      "s_value", "t_value", "s_sent", "t_sent", "label")
+
+
 def merge_overlapping_entities(entities: DataFrame) -> DataFrame:
     """J13 — compound-entity overlap merge: sort by (begin asc, length desc)
     and keep only interval-island roots (``brat/sentence.py:41-69`` keeps the
