@@ -13,21 +13,67 @@ from arekit_r335_spark.pipeline import build_samples_pipeline
 
 
 def test_samples_schema_and_masking(spark, sf0001_dir):
-    samples = build_samples_pipeline(spark, KgInputs.at(sf0001_dir))
+    """Reconstruct every sample's text_a from the raw turn with the oracle
+    masking rules (terms_mapper.py:54-67 + sharp formatter) and require exact
+    string equality. NOTE s_ind/t_ind index TERMS, not space-split tokens —
+    a multi-word frame phrase renders with internal spaces, exactly like the
+    reference's text provider (single.py:36)."""
+    import json
+
+    import pandas as pd
+
+    from arekit_r335_spark.lexicons import FramesLexicon, load_synonym_seed
+    from arekit_r335_spark.operators import textproc as tp
+
+    inputs = KgInputs.at(sf0001_dir)
+    samples = build_samples_pipeline(spark, inputs)
     assert samples.columns == ["id", "doc_id", "sent_ind", "label", "text_a",
                                "entity_values", "entity_types", "entities",
                                "s_ind", "t_ind"]
-    rows = samples.limit(200).collect()
+    rows = samples.limit(300).collect()
     assert rows
-    for r in rows[:50]:
-        toks = r.text_a.split(" ")
-        # masked subject/object at the recorded in-sentence indices
-        assert toks[r.s_ind] == "#S"
-        assert toks[r.t_ind] == "#O"
-        # every entity token masked as #S/#O/#E
-        ent_inds = [int(i) for i in r.entities.split(",") if i != ""]
-        assert all(toks[i] in ("#S", "#O", "#E") for i in ent_inds)
-        assert len(ent_inds) == len(r.entity_values.split(","))
+
+    frames = FramesLexicon.from_json(inputs.frames)
+    seed = load_synonym_seed(inputs.synonyms)
+    seed_groups = {r.sid: f"g{int(r.group_id)}" for r in seed.itertuples()}
+    types = json.load(open(inputs.entity_types))
+    types = {k.lower(): v for k, v in types.items()}
+    tr = pd.read_parquet(inputs.transcripts)
+    by_turn = {(r.conv_id, r.turn_idx): r.text for r in tr.itertuples()}
+    neg = frozenset({"not", "no", "never", "без", "не"})
+
+    def group(v):
+        return seed_groups.get(v, "u:" + v)
+
+    for r in rows:
+        terms = tp.parse_turn(by_turn[(r.doc_id, r.sent_ind)],
+                              frames.variants, frames.max_variant_len, neg)
+        assert terms[r.s_ind].kind == "e" and terms[r.t_ind].kind == "e"
+        sg, tg = group(terms[r.s_ind].text), group(terms[r.t_ind].text)
+        out = []
+        for i, t in enumerate(terms):
+            if t.kind == "e":
+                if i == r.s_ind:
+                    out.append("#S")
+                elif i == r.t_ind:
+                    out.append("#O")
+                elif group(t.text) == sg:
+                    out.append("#S")
+                elif group(t.text) == tg:
+                    out.append("#O")
+                else:
+                    out.append("#E")
+            elif t.kind == "f":
+                out.append(t.aux)
+            else:
+                out.append(t.text)
+        assert " ".join(out) == r.text_a, r.id
+        ent_inds = [i for i, t in enumerate(terms) if t.kind == "e"]
+        assert r.entities == ",".join(str(i) for i in ent_inds)
+        assert r.entity_values == ",".join(
+            terms[i].text.replace(",", "") for i in ent_inds)
+        assert r.entity_types == ",".join(
+            types.get(terms[i].text, "") for i in ent_inds)
 
 
 def test_samples_balance(spark, sf0001_dir):
@@ -59,7 +105,10 @@ def test_writers_roundtrip(spark, sf0001_dir, tmp_path):
     line = open([p for p in part if "part-" in p][0]).readline()
     bag = json.loads(line)
     assert set(bag) == {"id_orig", "token", "h", "t", "relation"}
-    assert bag["token"][bag["h"]["pos"][0]] == "#S"
+    # token = text_a.split() like the reference (json_opennre.py:54-57);
+    # h/t positions are TERM indices (multi-word frame phrases may shift
+    # whitespace tokens), so assert membership not position
+    assert "#S" in bag["token"] and "#O" in bag["token"]
 
     ops = spark.createDataFrame(
         [("usa", "russia", "pos"), ("a", "b", "neg")],
