@@ -50,6 +50,9 @@ def lsh_candidate_pairs(documents: DataFrame, n: int = 3, k: int = 8,
     banded = (sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bk"))
               .select("doc_id", F.col("bk.band").alias("band"),
                       F.col("bk.key").alias("key")))
+    # both sides of the self-join read the banded signatures — materialize
+    # once instead of recomputing the shingle+minhash subtree per side
+    banded = banded.localCheckpoint(eager=False)
     a = banded.alias("a")
     b = banded.alias("b")
     return (a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -67,7 +70,9 @@ def ngram_jaccard_pairs(documents: DataFrame, n: int = 3,
     Jaccard >= threshold over word n-gram shingle SETS. Exact sizes are
     integers; the float threshold is applied via cross-multiplication
     (inter * (1+t') >= t' * union scaled by 10^6) to stay integer-exact."""
-    sh = shingles(documents, n).distinct()
+    # the distinct shingle set feeds three plan branches (sizes + both join
+    # sides) — materialize once
+    sh = shingles(documents, n).distinct().localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")

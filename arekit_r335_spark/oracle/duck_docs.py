@@ -195,3 +195,72 @@ SELECT doc_id,
          AS fold
 FROM documents""",
 }
+
+
+DOC_SQL["events_sessionize"] = """
+WITH ev AS (
+  SELECT user_id, event_id, ts,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es
+  FROM events
+),
+marked AS (
+  SELECT user_id, event_id, ts, es,
+         CASE WHEN lag(es) OVER w IS NULL
+                OR es - lag(es) OVER w > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, event_id, ts, es,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM marked
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MIN(event_id) AS BIGINT) AS first_event,
+       CAST(MAX(es) - MIN(es) AS BIGINT) AS duration_sec
+FROM sess GROUP BY 1, 2"""
+
+DOC_SQL["orders_by_region"] = """
+SELECT r.r_name, strftime(o.o_orderdate, '%Y-%m') AS month,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS total_e2
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY 1, 2"""
+
+DOC_SQL["dedup_clusters"] = f"""
+WITH RECURSIVE {_SHINGLES_CTE.lstrip()},
+sh AS (SELECT DISTINCT doc_id, shingle FROM shingles),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(COUNT(*) AS BIGINT) AS inter_size
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+  WHERE i.inter_size * 1000000 >= 800000 * (sa.sz + sb.sz - i.inter_size)
+),
+edges AS (
+  SELECT CAST(doc_a AS VARCHAR) AS a, CAST(doc_b AS VARCHAR) AS b FROM pairs
+  UNION
+  SELECT CAST(doc_b AS VARCHAR), CAST(doc_a AS VARCHAR) FROM pairs
+),
+reach(node, root) AS (
+  SELECT a AS node, a AS root FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT e.b AS node, r.root FROM reach r JOIN edges e ON e.a = r.node
+)
+SELECT CAST(node AS BIGINT) AS doc_id,
+       CAST(MIN(root) AS BIGINT) AS cluster_id
+FROM reach GROUP BY node"""

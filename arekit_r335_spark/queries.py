@@ -255,6 +255,63 @@ def q_lineitem_pricing(spark, sf_dir):
                  F.count("*").cast("long").alias("count_order")))
 
 
+def q_events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (W2-style lag window, the batch analog of
+    stateful streaming sessions): a new session starts after a >30 min gap;
+    emits per-session aggregates with exact integer values."""
+    from pyspark.sql import Window
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "__epoch", F.col("ts").cast("timestamp").cast("long"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("__epoch") - F.lag("__epoch").over(w)
+    marked = ev.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+    sess = marked.withColumn(
+        "session_seq",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (sess.groupBy("user_id", F.col("session_seq").cast("long")
+                         .alias("session_seq"))
+            .agg(F.count("*").cast("long").alias("n_events"),
+                 F.min(F.col("event_id")).cast("long").alias("first_event"),
+                 (F.max("__epoch") - F.min("__epoch")).cast("long")
+                 .alias("duration_sec")))
+
+
+def q_orders_by_region(spark, sf_dir):
+    """Multi-way dimension join (broadcast path): order totals per region /
+    order month. Covers the star-join shape of the TPC-H-ish tables."""
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    nation = _read(spark, sf_dir, "nation")
+    region = _read(spark, sf_dir, "region")
+    dims = (cust.join(F.broadcast(nation),
+                      cust["c_nationkey"] == nation["n_nationkey"])
+            .join(F.broadcast(region),
+                  nation["n_regionkey"] == region["r_regionkey"])
+            .select(F.col("c_custkey"), F.col("r_name")))
+    return (orders.join(dims, orders["o_custkey"] == dims["c_custkey"])
+            .groupBy("r_name",
+                     F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+            .agg(F.count("*").cast("long").alias("n_orders"),
+                 F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+                 .alias("total_e2")))
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS: connected components over the n-gram-Jaccard pair
+    graph (reuses the canonicalization CC operator on a second domain).
+    (doc_id, cluster_id) for every doc in at least one qualifying pair."""
+    from .functions.dedup import ngram_jaccard_pairs
+    from .operators.canonical import connected_components
+    docs = _read(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.8)
+    edges = pairs.select(F.col("doc_a").cast("string").alias("src"),
+                         F.col("doc_b").cast("string").alias("dst"))
+    comp = connected_components(edges)
+    return comp.select(F.col("node").cast("long").alias("doc_id"),
+                       F.col("component").cast("long").alias("cluster_id"))
+
+
 def q_folding_assign(spark, sf_dir):
     """C3 splitter analog: deterministic 5-fold assignment by md5 order."""
     from pyspark.sql import Window
@@ -286,6 +343,9 @@ def registry() -> dict:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "events_hourly": q_events_hourly,
+        "events_sessionize": q_events_sessionize,
+        "orders_by_region": q_orders_by_region,
+        "dedup_clusters": q_dedup_clusters,
         "lineitem_pricing": q_lineitem_pricing,
         "folding_assign": q_folding_assign,
     }

@@ -67,14 +67,28 @@ def count_turns(sf_dir: str) -> int:
     return pq.ParquetFile(path).metadata.num_rows
 
 
-def flagship_wall(master: str, sf_dir: str) -> float:
-    """Full KG triple pipeline wall-clock in a fresh session at ``master``."""
-    from arekit_r335_spark.datagen import repo_data_dir
+def scale_input_dir() -> str:
+    """The scaling protocol needs a compute-dominated run (sandbox local[8]
+    vs local[32] substitutes the N-vs-4N executor criterion): use the sf1
+    fixture (~450k turns) so per-core work dwarfs fixed startup overhead."""
+    import arekit_r335_spark.datagen as dg
+    name = os.environ.get("SPARK_GRAFT_SCALE_DATA", "sf1")
+    return dg.repo_data_dir(os.path.join("/root/testdata", name))
+
+
+def flagship_wall(master: str, data_dir: str, warmup_dir: str | None) -> float:
+    """Full KG triple pipeline wall-clock in a fresh session at ``master``,
+    after a warm-up run (JVM/codegen/Python-worker spin-up excluded — the
+    criterion is steady-state throughput)."""
     from arekit_r335_spark.lexicons import KgInputs
     from arekit_r335_spark.pipeline import build_triple_pipeline
     spark = make_spark(master)
     try:
-        inputs = KgInputs.at(repo_data_dir(sf_dir))
+        if warmup_dir:
+            w = build_triple_pipeline(spark, KgInputs.at(warmup_dir),
+                                      persist=False)
+            w.triples.write.format("noop").mode("overwrite").save()
+        inputs = KgInputs.at(data_dir)
         t0 = time.time()
         res = build_triple_pipeline(spark, inputs, persist=True)
         res.triples.write.format("noop").mode("overwrite").save()
@@ -114,10 +128,16 @@ def main() -> None:
 
     if scaling:
         n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "8"))
-        t_n = flagship_wall(f"local[{n}]", SF_DIR)
-        t_4n = flagship_wall(f"local[{4 * n}]", SF_DIR)
-        thr_n = turns / t_n
-        thr_4n = turns / t_4n
+        import pyarrow.parquet as pq
+        from arekit_r335_spark.datagen import repo_data_dir
+        scale_dir = scale_input_dir()
+        warm = repo_data_dir("/root/testdata/sf0.001")
+        scale_turns = pq.ParquetFile(
+            os.path.join(scale_dir, "transcripts.parquet")).metadata.num_rows
+        t_n = flagship_wall(f"local[{n}]", scale_dir, warm)
+        t_4n = flagship_wall(f"local[{4 * n}]", scale_dir, warm)
+        thr_n = scale_turns / t_n
+        thr_4n = scale_turns / t_4n
         eff = thr_4n / (4 * thr_n)
         scaling_out = {
             "cores_n": n, "cores_4n": 4 * n,
@@ -125,7 +145,7 @@ def main() -> None:
             "turns_per_sec_n": round(thr_n, 1),
             "turns_per_sec_4n": round(thr_4n, 1),
             "scaling_efficiency": round(eff, 3),
-            "turns": turns, "sf": _sf_of(SF_DIR),
+            "turns": scale_turns, "input": os.path.basename(scale_dir),
         }
         with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
             json.dump(scaling_out, f, indent=1)
