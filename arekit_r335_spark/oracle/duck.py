@@ -168,14 +168,17 @@ expanded AS (
   WHERE ms.ent_id <> mt.ent_id
     AND ms.turn_idx = mt.turn_idx
     AND abs(ms.ind_in_doc - mt.ind_in_doc) < {window}
+),
+deduped AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id, s_ent_id, t_ent_id
+                                 ORDER BY priority) AS rn
+    FROM expanded
+  ) WHERE rn = 1
 )
 SELECT conv_id, turn_idx, s_ent_id, t_ent_id, s_value, t_value,
        s_group, t_group, label, term_dist
-FROM (
-  SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id, s_ent_id, t_ent_id
-                               ORDER BY priority) AS rn
-  FROM expanded
-) WHERE rn = 1
+FROM deduped
 ORDER BY conv_id, s_ent_id, t_ent_id""")
 
 
@@ -191,6 +194,25 @@ def doc_opinions_noframes_sql(transcripts_path: str, synonyms_path: str,
 SELECT conv_id, s_group, t_group, label, CAST(priority AS INT) AS priority
 FROM doc_ops
 ORDER BY conv_id, s_group, t_group, priority"""
+
+
+def opinion_rollup_noframes_sql(transcripts_path: str, synonyms_path: str,
+                                seed_path: str) -> str:
+    """A1 AVERAGE label aggregation over the deduped mention triples:
+    sign(sum(int labels)) per synonym pair (labeling/single.py:6-24)."""
+    base = triples_noframes_sql(transcripts_path, synonyms_path, seed_path)
+    prefix = base.split("\nSELECT conv_id, turn_idx, s_ent_id")[0]
+    return prefix + """
+SELECT conv_id, s_group, t_group,
+       CASE WHEN SUM(CASE label WHEN 'pos' THEN 1 WHEN 'neg' THEN -1
+                     ELSE 0 END) > 0 THEN 'pos'
+            WHEN SUM(CASE label WHEN 'pos' THEN 1 WHEN 'neg' THEN -1
+                     ELSE 0 END) < 0 THEN 'neg'
+            ELSE 'nolabel' END AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_contexts
+FROM deduped
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3"""
 
 
 def canonical_nodes_sql(transcripts_path: str, synonyms_path: str,

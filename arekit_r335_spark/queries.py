@@ -78,7 +78,7 @@ def q_kg_doc_opinions_noframes(spark, sf_dir):
     """Doc-level opinion union (J4+J8 predefined, J2/J3+J8 nolabel, U1)."""
     _, inputs = _kg(spark, sf_dir)
     res = build_triple_pipeline(
-        spark, inputs, PipelineConfig(), persist=False,
+        spark, inputs, PipelineConfig(), persist=True,
         frames_override=FramesLexicon.empty())
     return res.doc_opinions.select(
         "conv_id", "s_group", "t_group", "label",
@@ -99,7 +99,7 @@ def q_kg_frame_hits(spark, sf_dir):
     longest-match over the term stream is not expressible in one SQL pass)."""
     _, inputs = _kg(spark, sf_dir)
     res = build_triple_pipeline(spark, inputs, PipelineConfig(),
-                                persist=False)
+                                persist=True)
     return res.frames.select("conv_id", "turn_idx", "pos_in_turn",
                              "ind_in_doc", "frame_id", "negated")
 
@@ -172,6 +172,18 @@ def q_eval_prf_noframes(spark, sf_dir):
                       "n_etalon",
                       F.round("prec", 6).alias("prec"),
                       F.round("rec", 6).alias("rec"))
+
+
+def q_kg_opinion_rollup_noframes(spark, sf_dir):
+    """A1 — AVERAGE label aggregation of mention-level triples into one
+    doc-level opinion per synonym pair (sign of summed int labels)."""
+    from .operators.aggregate import AVERAGE, linkages_to_opinions
+    _, inputs = _kg(spark, sf_dir)
+    res = build_triple_pipeline(
+        spark, inputs, PipelineConfig(), persist=True,
+        frames_override=FramesLexicon.empty())
+    return linkages_to_opinions(res.text_opinions, AVERAGE).select(
+        "conv_id", "s_group", "t_group", "label", "n_contexts")
 
 
 def q_kg_samples(spark, sf_dir):
@@ -333,6 +345,7 @@ def registry() -> dict:
         "knn_bruteforce": q_knn_bruteforce,
         "knn_lsh": q_knn_lsh,
         "eval_prf_noframes": q_eval_prf_noframes,
+        "kg_opinion_rollup_noframes": q_kg_opinion_rollup_noframes,
         "kg_samples": q_kg_samples,
         "doc_token_stats": q_doc_token_stats,
         "doc_quality": q_doc_quality,
@@ -368,6 +381,8 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict:
             tr, syn, os.path.join(data_dir, "aliases.parquet")),
         "knn_bruteforce": duck.knn_bruteforce_sql(),
         "eval_prf_noframes": duck.eval_prf_noframes_sql(syn, seed),
+        "kg_opinion_rollup_noframes":
+            duck.opinion_rollup_noframes_sql(tr, syn, seed),
     }
     out.update(duck_docs.DOC_SQL)
     return out

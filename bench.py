@@ -53,9 +53,12 @@ def run_query(spark, fn, sf_dir: str) -> float:
 
 def make_spark(master: str):
     from arekit_r335_spark.config import ScaleConfig
+    return make_spark_scaled(master, ScaleConfig(shuffle_partitions=32))
+
+
+def make_spark_scaled(master: str, scale):
     from arekit_r335_spark.session import get_spark
-    spark = get_spark(app_name="arekit-bench", master=master,
-                      scale=ScaleConfig(shuffle_partitions=32))
+    spark = get_spark(app_name="arekit-bench", master=master, scale=scale)
     spark.sparkContext.setLogLevel("ERROR")
     return spark
 
@@ -79,10 +82,16 @@ def scale_input_dir() -> str:
 def flagship_wall(master: str, data_dir: str, warmup_dir: str | None) -> float:
     """Full KG triple pipeline wall-clock in a fresh session at ``master``,
     after a warm-up run (JVM/codegen/Python-worker spin-up excluded — the
-    criterion is steady-state throughput)."""
+    criterion is steady-state throughput). Shuffle partitions scale with the
+    core count (4 waves) exactly as a real cluster conf would."""
+    import re
+    from arekit_r335_spark.config import ScaleConfig
     from arekit_r335_spark.lexicons import KgInputs
     from arekit_r335_spark.pipeline import build_triple_pipeline
-    spark = make_spark(master)
+    cores = int(re.findall(r"\d+", master)[0])
+    spark = make_spark_scaled(master, ScaleConfig(
+        shuffle_partitions=4 * cores,
+        extra_conf={"spark.sql.files.maxPartitionBytes": "4m"}))
     try:
         if warmup_dir:
             w = build_triple_pipeline(spark, KgInputs.at(warmup_dir),

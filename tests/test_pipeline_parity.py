@@ -17,7 +17,7 @@ from arekit_r335_spark.pipeline import build_triple_pipeline
 
 def run_both(spark, data_dir, cfg, ocfg, types_map=None):
     inputs = KgInputs.at(data_dir)
-    res = build_triple_pipeline(spark, inputs, cfg, persist=False)
+    res = build_triple_pipeline(spark, inputs, cfg, persist=True)
     got = {
         (r.conv_id, r.turn_idx, r.s_ent_id, r.t_ent_id, r.s_value, r.t_value,
          r.s_group, r.t_group, r.label)
