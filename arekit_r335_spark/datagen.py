@@ -287,10 +287,60 @@ _SF_OF_DIR = {"sf0.001": 0.001, "sf0.01": 0.01, "sf0.1": 0.1, "sf1": 1.0,
               "sf3": 3.0, "sf10": 10.0}
 
 
+def replicated_data_dir(factor: int) -> str:
+    """``data/sf1x<factor>`` — the sf1 fixture replicated ``factor`` times
+    with distinct conv_id prefixes (``r<i>:<conv>``), for the scaling-
+    efficiency protocol: large enough that per-core compute dominates fixed
+    driver overhead, deterministic, and generated in seconds (no re-run of
+    the text synthesizer). Seed opinions are replicated with matching ids;
+    lexicon files are shared copies. Written with ~50k-row parquet row
+    groups so the scan splits well at any parallelism."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    base = repo_data_dir("/root/testdata/sf1")
+    out = os.path.abspath(os.path.join(os.path.dirname(os.path.abspath(
+        __file__)), os.pardir, "data", f"sf1x{factor}"))
+    marker = os.path.join(out, "data_version.txt")
+    want = f"{DATA_VERSION}x{factor}"
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if f.read().strip() == want:
+                return out
+    tmp = out + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    for name in ("transcripts", "seed_opinions"):
+        t = pq.read_table(os.path.join(base, f"{name}.parquet"))
+        reps = []
+        for i in range(factor):
+            conv = pc.binary_join_element_wise(
+                pa.array([f"r{i}"] * len(t), pa.string()),
+                t.column("conv_id").cast(pa.string()), ":")
+            reps.append(t.set_column(t.schema.get_field_index("conv_id"),
+                                     "conv_id", conv))
+        pq.write_table(pa.concat_tables(reps),
+                       os.path.join(tmp, f"{name}.parquet"),
+                       row_group_size=50_000)
+    for name in ("synonyms.parquet", "aliases.parquet", "frames.json",
+                 "entity_types.json"):
+        shutil.copy(os.path.join(base, name), os.path.join(tmp, name))
+    with open(os.path.join(tmp, "data_version.txt"), "w") as f:
+        f.write(want)
+    shutil.rmtree(out, ignore_errors=True)
+    os.replace(tmp, out)
+    return out
+
+
 def repo_data_dir(sf_dir: str) -> str:
     """Map a driver testdata dir (…/sf0.01) to this repo's generated KG
     fixture dir, generating it on first use (deterministic, seeded)."""
     name = os.path.basename(os.path.normpath(sf_dir))
+    if name.startswith("sf1x"):
+        return replicated_data_dir(int(name[4:]))
     sf = _SF_OF_DIR.get(name)
     if sf is None:
         # treat unknown dirs as sf0.01-scale

@@ -59,8 +59,12 @@ def build_triple_pipeline(spark: SparkSession,
                           cfg: PipelineConfig | None = None,
                           transcripts: DataFrame | None = None,
                           persist: bool = True,
-                          frames_override: FramesLexicon | None = None
+                          frames_override: FramesLexicon | None = None,
+                          strategy: str = "auto"
                           ) -> TriplePipelineResult:
+    """EP1. ``strategy``: 'turnlocal' (one-shuffle physical plan, valid for
+    ``dist_in_sents == 0``), 'relational' (general self-join plan), or 'auto'
+    (turnlocal when the config allows it)."""
     cfg = cfg or PipelineConfig()
     if transcripts is None:
         transcripts = spark.read.parquet(inputs.transcripts)
@@ -69,6 +73,14 @@ def build_triple_pipeline(spark: SparkSession,
                   else FramesLexicon.from_json(inputs.frames))
     seed_syn = load_synonym_seed(inputs.synonyms)
     seed_df = seed_groups_df(spark, seed_syn)
+
+    if strategy == "auto":
+        strategy = "turnlocal" if cfg.dist_in_sents == 0 else "relational"
+    if strategy == "turnlocal":
+        if cfg.dist_in_sents != 0:
+            raise ValueError("turnlocal strategy requires dist_in_sents == 0")
+        return _build_turnlocal(spark, inputs, cfg, transcripts, persist,
+                                frames_lex, seed_syn, seed_df)
 
     parsed = parse_transcripts(transcripts, frames_lex, cfg)
     mentions = with_group_key(mentions_table(parsed), seed_df,
@@ -83,7 +95,14 @@ def build_triple_pipeline(spark: SparkSession,
         mentions = mentions.filter(
             F.col("ent_type").isin(list(cfg.entity_type_whitelist)))
     if persist:
+        # Materialize the cache EAGERLY: the triples DAG scans mentions from
+        # four branches that AQE executes concurrently — if the first action
+        # also populates the cache, the other branches' tasks sit blocked on
+        # BlockManager locks while partition materialization races (observed:
+        # stage run-time 5-8x executor CPU). One cheap count() up front makes
+        # every downstream scan a warm cache read.
         mentions = mentions.persist(StorageLevel.MEMORY_AND_DISK)
+        mentions.count()
 
     pairs = candidate_pairs(mentions, cfg)
 
@@ -102,6 +121,50 @@ def build_triple_pipeline(spark: SparkSession,
 
     return TriplePipelineResult(
         mentions=mentions,
+        frames=frames_table(parsed),
+        doc_opinions=doc_opinions,
+        text_opinions=text_opinions,
+        triples=triples,
+    )
+
+
+def _build_turnlocal(spark: SparkSession, inputs: KgInputs,
+                     cfg: PipelineConfig, transcripts: DataFrame,
+                     persist: bool, frames_lex: FramesLexicon,
+                     seed_syn, seed_df: DataFrame) -> TriplePipelineResult:
+    """One-shuffle EP1 (operators/turnlocal.py): the synonym-seed (J7a) and
+    entity-type (J12) lookups ride inside the parse closure; every stage
+    after the single conv_id repartition is exchange-free."""
+    from .operators import turnlocal as tl
+
+    groups = {str(r.sid): f"g{int(r.group_id)}"
+              for r in seed_syn.itertuples()}
+    types = (load_entity_types(inputs.entity_types)
+             if cfg.entity_type_whitelist is not None else None)
+    parsed = parse_transcripts(transcripts, frames_lex, cfg,
+                               groups=groups, types=types)
+    annotated = tl.annotated_parsed(parsed, cfg)
+    # NO caching here, deliberately (persist is accepted for signature
+    # compatibility): the triples DAG reads ``annotated`` twice (pair stage +
+    # expansion stage) and re-running the Arrow parse costs ~40 CPU-s per
+    # million turns, while materializing Spark's columnar cache of the nested
+    # mention arrays measured 5-10x that in allocation/GC CPU at high
+    # parallelism (local[32]) and serialized the concurrent AQE branches on
+    # BlockManager locks. Recompute beats remember for this shape.
+    del persist
+
+    seed_ops = spark.read.parquet(inputs.seed_opinions)
+    predefined = predefined_doc_opinions(seed_ops, seed_df)
+    nolabel = tl.nolabel_doc_opinions_local(annotated, cfg)
+    doc_opinions = union_annotators(predefined, nolabel)
+
+    conv_ms = tl.conv_mentions(annotated)
+    expanded = tl.expand_to_text_opinions_local(doc_opinions, conv_ms, cfg)
+    text_opinions = dedup_across_annotators(expanded)
+    triples = triples_schema_select(text_opinions)
+
+    return TriplePipelineResult(
+        mentions=tl.mentions_rows(annotated),
         frames=frames_table(parsed),
         doc_opinions=doc_opinions,
         text_opinions=text_opinions,

@@ -78,6 +78,21 @@ def test_triples_parity_type_whitelist(spark, sf0001_dir):
     assert got == want
 
 
+def test_strategy_equivalence(spark, sf0001_dir):
+    """The one-shuffle turn-local plan and the general relational self-join
+    plan are alternative physical strategies for the same logical EP1 —
+    identical triples row-for-row."""
+    inputs = KgInputs.at(sf0001_dir)
+    cfg = PipelineConfig()
+    a = build_triple_pipeline(spark, inputs, cfg, persist=False,
+                              strategy="turnlocal").triples
+    b = build_triple_pipeline(spark, inputs, cfg, persist=False,
+                              strategy="relational").triples
+    rows_a = {tuple(r) for r in a.collect()}
+    rows_b = {tuple(r) for r in b.collect()}
+    assert rows_a == rows_b and len(rows_a) > 0
+
+
 def test_partition_count_invariance(spark, sf0001_dir):
     """Same triples regardless of input partitioning (SURVEY.md §4 item 3)."""
     inputs = KgInputs.at(sf0001_dir)
