@@ -83,12 +83,20 @@ def langid_scores(documents: DataFrame) -> DataFrame:
 
 def shingles(documents: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, shingle) word n-gram shingles of the normalized text; docs
-    shorter than n tokens contribute their whole normalized text."""
+    shorter than n tokens contribute their whole normalized text.
+
+    Expression form matters: ``transform(slice(toks, ...), (x, i) ->
+    concat_ws(slice(toks, i+1, n)))`` instead of ``transform(sequence(...),
+    i -> element_at(toks, i) ...)``. Catalyst inlines the ``toks`` alias
+    (split+regex over the raw text) into the Generate pre-filter, and the
+    sequence/element_at form re-evaluates that chain per element_at — a
+    measured ~10x slowdown on this exact operator; the slice form collapses
+    to one evaluation."""
     toks = tokens_col(F.col("text"))
     d = documents.select("doc_id", toks.alias("toks"))
-    idx = F.sequence(F.lit(1), F.size("toks") - (n - 1))
-    sh = F.transform(idx, lambda i: F.concat_ws(
-        " ", *[F.element_at("toks", i + k) for k in range(n)]))
+    sh = F.transform(
+        F.slice("toks", 1, F.greatest(F.size("toks") - (n - 1), F.lit(0))),
+        lambda x, i: F.concat_ws(" ", F.slice("toks", i + 1, n)))
     return (d.select(
         "doc_id",
         F.when(F.size("toks") >= n, sh)
