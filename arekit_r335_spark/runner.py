@@ -44,6 +44,10 @@ class GraphSink:
         return os.path.join(self.base_dir, "nodes")
 
     @property
+    def nodes_partial(self) -> str:
+        return os.path.join(self.base_dir, "nodes_partial")
+
+    @property
     def lineage(self) -> str:
         return os.path.join(self.base_dir, "lineage")
 
@@ -80,6 +84,19 @@ def run_bucket(spark: SparkSession, inputs: KgInputs, cfg: PipelineConfig,
     (edges.write.mode("overwrite").partitionBy("bucket")
      .parquet(sink.edges))
 
+    # per-bucket node partials: group-level rollup of this bucket's mentions
+    # (the cross-bucket canonical merge happens once in finalize_nodes —
+    # partials keep the per-bucket unit idempotent and restart-safe)
+    nobs = Observation(f"nodes_b{bucket}")
+    partial = (res.mentions
+               .groupBy("group_key")
+               .agg(F.min("value").alias("canon_value"),
+                    F.count("*").cast("long").alias("n_mentions"))
+               .withColumn("bucket", F.lit(bucket))
+               .observe(nobs, F.count(F.lit(1)).alias("n_groups")))
+    (partial.write.mode("overwrite").partitionBy("bucket")
+     .parquet(sink.nodes_partial))
+
     n_mentions = res.mentions.count()
     n_turns = transcripts.count()
     res.mentions.unpersist()
@@ -91,13 +108,14 @@ def run_bucket(spark: SparkSession, inputs: KgInputs, cfg: PipelineConfig,
         "n_mentions": int(n_mentions),
         "n_triples": int(obs.get["n_triples"]),
         "n_convs": int(obs.get["n_convs"]),
+        "n_groups": int(nobs.get["n_groups"]),
         "wall_sec": float(round(time.time() - t0, 3)),
     }
     # lineage append LAST — commit point of the bucket
     (spark.createDataFrame(
         [metrics],
         "bucket int, status string, n_turns long, n_mentions long, "
-        "n_triples long, n_convs long, wall_sec double")
+        "n_triples long, n_convs long, n_groups long, wall_sec double")
      .coalesce(1).write.mode("append").parquet(sink.lineage))
     return metrics
 
@@ -120,5 +138,49 @@ def run_incremental(spark: SparkSession, inputs: KgInputs,
     return out
 
 
+def finalize_nodes(spark: SparkSession, inputs: KgInputs,
+                   sink_dir: str) -> int:
+    """Cross-bucket canonical node table (S12): merge the per-bucket group
+    partials, run connected components over the alias evidence (J7b), and
+    OVERWRITE ``nodes`` with one row per canonical entity:
+
+        (canon_id, group_keys, canon_value, n_mentions)
+
+    Idempotent — safe to re-run after any number of incremental buckets.
+    """
+    from .lexicons import load_synonym_seed
+    from .operators.canonical import connected_components, group_alias_edges
+    from .operators.grouping import seed_groups_df
+
+    sink = GraphSink(sink_dir)
+    partials = spark.read.parquet(sink.nodes_partial)
+    groups = (partials.groupBy("group_key")
+              .agg(F.min("canon_value").alias("canon_value"),
+                   F.sum("n_mentions").cast("long").alias("n_mentions")))
+
+    seed_df = seed_groups_df(spark, load_synonym_seed(inputs.synonyms))
+    aliases = (spark.read.parquet(inputs.aliases)
+               if inputs.aliases and os.path.exists(inputs.aliases) else None)
+    comps = connected_components(
+        group_alias_edges(groups.select(F.col("group_key"),
+                                        F.col("canon_value").alias("value")),
+                          aliases, seed_df))
+    nodes = (groups
+             .join(comps.withColumnRenamed("node", "group_key"),
+                   "group_key", "left")
+             .withColumn("canon_id",
+                         F.coalesce(F.col("component"), F.col("group_key")))
+             .groupBy("canon_id")
+             .agg(F.array_sort(F.collect_set("group_key")).alias("group_keys"),
+                  F.min("canon_value").alias("canon_value"),
+                  F.sum("n_mentions").cast("long").alias("n_mentions")))
+    nodes.write.mode("overwrite").parquet(sink.nodes)
+    return spark.read.parquet(sink.nodes).count()
+
+
 def read_edges(spark: SparkSession, sink_dir: str) -> DataFrame:
     return spark.read.parquet(GraphSink(sink_dir).edges)
+
+
+def read_nodes(spark: SparkSession, sink_dir: str) -> DataFrame:
+    return spark.read.parquet(GraphSink(sink_dir).nodes)

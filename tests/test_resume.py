@@ -40,6 +40,31 @@ def test_resume_equals_oneshot(spark, sf0001_dir, tmp_path):
     assert _edge_set(spark, resumed) == full
 
 
+def test_canonical_nodes_finalize(spark, sf0001_dir, tmp_path):
+    """Nodes finalize merges per-bucket partials + CC canonicalization, is
+    idempotent, and resumed partials equal the one-shot's."""
+    from arekit_r335_spark.runner import finalize_nodes, read_nodes
+
+    inputs = KgInputs.at(sf0001_dir)
+    sink = str(tmp_path / "sink")
+    run_incremental(spark, inputs, sink, num_buckets=NB)
+    n1 = finalize_nodes(spark, inputs, sink)
+    nodes = read_nodes(spark, sink)
+    assert n1 == nodes.count() and n1 > 0
+    # every mention group key appears in exactly one canonical node
+    keys = [k for r in nodes.select("group_keys").collect() for k in r[0]]
+    assert len(keys) == len(set(keys))
+    # mention mass is conserved through partials + canonical rollup
+    lineage = spark.read.parquet(GraphSink(sink).lineage)
+    total_mentions = sum(r.n_mentions for r in lineage.collect())
+    assert (sum(r.n_mentions for r in nodes.collect()) == total_mentions)
+    # re-finalize is a no-op rewrite
+    assert finalize_nodes(spark, inputs, sink) == n1
+    # alias evidence actually merged something (aliases fixture chains
+    # open-world groups): fewer canonical nodes than group keys
+    assert n1 < len(keys) or len(keys) == 0
+
+
 def test_rerun_is_noop(spark, sf0001_dir, tmp_path):
     inputs = KgInputs.at(sf0001_dir)
     sink = str(tmp_path / "sink")
