@@ -62,9 +62,23 @@ def build_triple_pipeline(spark: SparkSession,
                           frames_override: FramesLexicon | None = None,
                           strategy: str = "auto"
                           ) -> TriplePipelineResult:
-    """EP1. ``strategy``: 'turnlocal' (one-shuffle physical plan, valid for
-    ``dist_in_sents == 0``), 'relational' (general self-join plan), or 'auto'
-    (turnlocal when the config allows it)."""
+    """EP1. ``strategy``: 'relational' (codegen self-join plan — the
+    default), 'turnlocal' (array-HOF plan, valid for ``dist_in_sents == 0``),
+    or 'auto' (= relational).
+
+    Why relational is the default: with subset co-partitioning enabled
+    (session.py: ``requireAllClusterKeysForCoPartition=false``) the pair
+    self-join and the opinion-expansion join both reuse the single post-parse
+    conv_id hash partitioning, so the relational plan moves the same shuffle
+    bytes as the turn-local one (parse output + doc-opinion agg) while every
+    operator stays inside whole-stage codegen. The turn-local higher-order
+    array functions (transform/filter/flatten lambdas) are CodegenFallback —
+    interpreted evaluation plus one GenericInternalRow allocation per
+    candidate pair — and profiled 5-10x the JVM CPU of the codegen join at
+    identical output (sf1x8, local[32]: 990 vs 170 executor-CPU-seconds for
+    the post-parse stages), with run-to-run variance whenever AQE flips the
+    expansion join between broadcast and sort-merge. Turn-local remains for
+    A/B and for exchange-count-sensitive deployments."""
     cfg = cfg or PipelineConfig()
     if transcripts is None:
         transcripts = spark.read.parquet(inputs.transcripts)
@@ -75,7 +89,7 @@ def build_triple_pipeline(spark: SparkSession,
     seed_df = seed_groups_df(spark, seed_syn)
 
     if strategy == "auto":
-        strategy = "turnlocal" if cfg.dist_in_sents == 0 else "relational"
+        strategy = "relational"
     if strategy == "turnlocal":
         if cfg.dist_in_sents != 0:
             raise ValueError("turnlocal strategy requires dist_in_sents == 0")
