@@ -83,6 +83,65 @@ def default_planes(dim: int, n_planes: int = 6) -> list[list[float]]:
     return planes
 
 
+def knn_ivf(embeddings: DataFrame, query_ids: list[int], k: int = 10,
+            n_lists: int = 16, nprobe: int = 4) -> DataFrame:
+    """IVF-flat ANN: inverted-file lists from deterministically sampled
+    centroids, query probes the ``nprobe`` nearest lists, exact cosine
+    re-rank inside the probed lists. Schema = knn_bruteforce.
+
+    Centroid selection is the ``n_lists`` smallest ``md5(vec_id)`` rows —
+    a seedless deterministic sample (engine-portable, matches the DuckDB
+    oracle). At 100 TB: centroids come from a seeded ``sample()`` (+ optional
+    Lloyd rounds) and the assignment below is unchanged — one broadcast
+    cross-score against a centroid table that stays KB-sized, so the corpus
+    is scanned once and shuffled once on ``list_id``. Assignment and probe
+    ranking order by the ROUNDED score with centroid-id tie-breaks, so list
+    membership is float-portable."""
+    cent = (embeddings
+            .withColumn("__o", F.md5(F.col("vec_id").cast("string")))
+            .withColumn("list_id", F.row_number().over(
+                Window.orderBy(F.col("__o"), F.col("vec_id"))).cast("int"))
+            .filter(F.col("list_id") <= n_lists)
+            .select("list_id", F.col("embedding").alias("cent_emb")))
+
+    scored_assign = (embeddings.crossJoin(F.broadcast(cent))
+                     .select("vec_id", "embedding", "list_id",
+                             cosine_e5(F.col("embedding"), F.col("cent_emb"))
+                             .alias("a_cos")))
+    wa = Window.partitionBy("vec_id").orderBy(F.col("a_cos").desc(),
+                                              F.col("list_id"))
+    assigned = (scored_assign
+                .withColumn("__rn", F.row_number().over(wa))
+                .filter(F.col("__rn") == 1)
+                .select("vec_id", "embedding", "list_id"))
+
+    probes = (assigned.filter(F.col("vec_id").isin(query_ids))
+              .select(F.col("vec_id").alias("query_id"),
+                      F.col("embedding").alias("q_emb"))
+              .crossJoin(F.broadcast(cent))
+              .select("query_id", "q_emb", "list_id",
+                      cosine_e5(F.col("q_emb"), F.col("cent_emb"))
+                      .alias("p_cos")))
+    wp = Window.partitionBy("query_id").orderBy(F.col("p_cos").desc(),
+                                                F.col("list_id"))
+    probed = (probes.withColumn("__rn", F.row_number().over(wp))
+              .filter(F.col("__rn") <= nprobe)
+              .select("query_id", "q_emb", "list_id"))
+
+    cand = (probed.join(assigned.select(F.col("vec_id").alias("neighbor_id"),
+                                        F.col("embedding").alias("c_emb"),
+                                        "list_id"), "list_id")
+            .filter(F.col("query_id") != F.col("neighbor_id")))
+    scored = cand.select("query_id", "neighbor_id",
+                         cosine_e5(F.col("q_emb"), F.col("c_emb"))
+                         .alias("cos_e5"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_e5").desc(),
+                                               F.col("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "cos_e5"))
+
+
 def knn_lsh(embeddings: DataFrame, query_ids: list[int], k: int = 10,
             n_planes: int = 3, n_tables: int = 6, dim: int = 64) -> DataFrame:
     """Approximate top-k: multi-table sign-LSH (L independent tables of a few

@@ -299,6 +299,61 @@ QUALIFY rank <= {k}
 ORDER BY query_id, rank"""
 
 
+def knn_ivf_sql(n_queries: int = 10, k: int = 10, dim: int = 64,
+                n_lists: int = 16, nprobe: int = 4) -> str:
+    """Replica of functions/similarity.knn_ivf: md5-sampled centroids,
+    rounded-score argmax assignment, nprobe list probing, exact re-rank."""
+
+    def cos(a, b):
+        dot = (f"list_sum(list_transform(range(1, {dim} + 1), "
+               f"i -> ({a}.embedding[i]::DOUBLE) * ({b}.embedding[i]::DOUBLE)))")
+        na = (f"list_sum(list_transform(range(1, {dim} + 1), "
+              f"i -> ({a}.embedding[i]::DOUBLE) * ({a}.embedding[i]::DOUBLE)))")
+        nb = (f"list_sum(list_transform(range(1, {dim} + 1), "
+              f"i -> ({b}.embedding[i]::DOUBLE) * ({b}.embedding[i]::DOUBLE)))")
+        return (f"CAST(round({dot} / (sqrt({na}) * sqrt({nb})) * 100000, 0) "
+                "AS BIGINT)")
+
+    return f"""
+WITH cent AS (
+  SELECT vec_id, embedding,
+         CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+              vec_id) AS INT) AS list_id
+  FROM embeddings
+  QUALIFY list_id <= {n_lists}
+),
+assigned AS (
+  -- window aliases must be distinct across CTEs: an unqualified name in a
+  -- later QUALIFY would resolve to the carried-through column (always 1),
+  -- silently disabling the filter
+  SELECT e.vec_id, e.embedding, c.list_id,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+              ORDER BY {cos('e', 'c')} DESC, c.list_id) AS arn
+  FROM embeddings e, cent c
+  QUALIFY arn = 1
+),
+probed AS (
+  SELECT q.vec_id AS query_id, q.embedding, c.list_id,
+         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+              ORDER BY {cos('q', 'c')} DESC, c.list_id) AS prn
+  FROM assigned q, cent c
+  WHERE q.vec_id < {n_queries}
+  QUALIFY prn <= {nprobe}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id, {cos('p', 'a')} AS cos_e5
+  FROM probed p JOIN assigned a ON a.list_id = p.list_id
+  WHERE p.query_id <> a.vec_id
+)
+SELECT query_id, neighbor_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cos_e5 DESC, neighbor_id) AS INT) AS rank,
+       cos_e5
+FROM scored
+QUALIFY rank <= {k}
+ORDER BY query_id, rank"""
+
+
 def eval_prf_noframes_sql(synonyms_path: str, seed_path: str) -> str:
     """J14+A4 oracle: etalon = predefined doc opinions from the seed file;
     test = deterministic md5-flip of labels; Extraction-mode full-outer

@@ -132,6 +132,14 @@ def q_knn_bruteforce(spark, sf_dir):
     return knn_bruteforce(emb, list(range(10)), k=10)
 
 
+def q_knn_ivf(spark, sf_dir):
+    """IVF-flat ANN: md5-sampled centroids -> inverted lists -> nprobe
+    probing -> exact re-rank (checked value-exact against DuckDB)."""
+    from .functions.similarity import knn_ivf
+    emb = _read(spark, sf_dir, "embeddings")
+    return knn_ivf(emb, list(range(10)), k=10)
+
+
 def q_knn_lsh(spark, sf_dir):
     """Approximate ANN: sign-random-projection buckets + exact rerank
     (rows-only check; recall vs brute force is asserted in pytest)."""
@@ -343,6 +351,7 @@ def registry() -> dict:
         "kg_frame_hits": q_kg_frame_hits,
         "kg_canonical_nodes": q_kg_canonical_nodes,
         "knn_bruteforce": q_knn_bruteforce,
+        "knn_ivf": q_knn_ivf,
         "knn_lsh": q_knn_lsh,
         "eval_prf_noframes": q_eval_prf_noframes,
         "kg_opinion_rollup_noframes": q_kg_opinion_rollup_noframes,
@@ -380,6 +389,7 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         "kg_canonical_nodes": duck.canonical_nodes_sql(
             tr, syn, os.path.join(data_dir, "aliases.parquet")),
         "knn_bruteforce": duck.knn_bruteforce_sql(),
+        "knn_ivf": duck.knn_ivf_sql(),
         "eval_prf_noframes": duck.eval_prf_noframes_sql(syn, seed),
         "kg_opinion_rollup_noframes":
             duck.opinion_rollup_noframes_sql(tr, syn, seed),

@@ -24,6 +24,29 @@ def test_knn_lsh_recall(spark):
     assert sum(recalls) / len(recalls) >= 0.2
 
 
+def test_knn_ivf_recall_and_probe_bound(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    from arekit_r335_spark.functions.similarity import knn_bruteforce, knn_ivf
+    qids = list(range(10))
+    exact = knn_bruteforce(emb, qids, k=5).collect()
+    approx = knn_ivf(emb, qids, k=5, n_lists=8, nprobe=3).collect()
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [len(exact_sets[q] & approx_sets.get(q, set()))
+               / len(exact_sets[q]) for q in exact_sets]
+    # probing 3 of 8 inverted lists must recover a reasonable share of the
+    # true neighbors while scoring well under the full corpus
+    assert sum(recalls) / len(recalls) >= 0.3
+    # approx scores can never exceed the exact ones (subset candidates)
+    exact_best = {r.query_id: r.cos_e5 for r in exact if r.rank == 1}
+    for r in approx:
+        if r.rank == 1:
+            assert r.cos_e5 <= exact_best[r.query_id]
+
+
 def test_exact_dedup_finds_planted_dups(spark):
     docs = spark.createDataFrame(
         [(1, "The  Quick brown fox"), (2, "the quick BROWN fox"),
