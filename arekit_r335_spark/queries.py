@@ -69,7 +69,7 @@ def q_kg_triples_noframes(spark, sf_dir):
     J2/J3 -> J8 -> U1/J9 -> J6 -> J10/J11 -> triples."""
     _, inputs = _kg(spark, sf_dir)
     res = build_triple_pipeline(
-        spark, inputs, PipelineConfig(), persist=True,
+        spark, inputs, PipelineConfig(), persist=False,
         frames_override=FramesLexicon.empty())
     return res.triples
 
@@ -78,7 +78,7 @@ def q_kg_doc_opinions_noframes(spark, sf_dir):
     """Doc-level opinion union (J4+J8 predefined, J2/J3+J8 nolabel, U1)."""
     _, inputs = _kg(spark, sf_dir)
     res = build_triple_pipeline(
-        spark, inputs, PipelineConfig(), persist=True,
+        spark, inputs, PipelineConfig(), persist=False,
         frames_override=FramesLexicon.empty())
     return res.doc_opinions.select(
         "conv_id", "s_group", "t_group", "label",
@@ -91,7 +91,7 @@ def q_kg_triples(spark, sf_dir):
     transcription oracle)."""
     _, inputs = _kg(spark, sf_dir)
     return build_triple_pipeline(spark, inputs, PipelineConfig(),
-                                 persist=True).triples
+                                 persist=False).triples
 
 
 def q_kg_frame_hits(spark, sf_dir):
@@ -99,7 +99,7 @@ def q_kg_frame_hits(spark, sf_dir):
     longest-match over the term stream is not expressible in one SQL pass)."""
     _, inputs = _kg(spark, sf_dir)
     res = build_triple_pipeline(spark, inputs, PipelineConfig(),
-                                persist=True)
+                                persist=False)
     return res.frames.select("conv_id", "turn_idx", "pos_in_turn",
                              "ind_in_doc", "frame_id", "negated")
 
@@ -188,7 +188,7 @@ def q_kg_opinion_rollup_noframes(spark, sf_dir):
     from .operators.aggregate import AVERAGE, linkages_to_opinions
     _, inputs = _kg(spark, sf_dir)
     res = build_triple_pipeline(
-        spark, inputs, PipelineConfig(), persist=True,
+        spark, inputs, PipelineConfig(), persist=False,
         frames_override=FramesLexicon.empty())
     return linkages_to_opinions(res.text_opinions, AVERAGE).select(
         "conv_id", "s_group", "t_group", "label", "n_contexts")
