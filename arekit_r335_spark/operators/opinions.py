@@ -18,7 +18,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 PRI_PREDEFINED = 0
-PRI_NOLABEL = 1
+PRI_FRAMES = 1
+PRI_NOLABEL = 2
 
 
 def predefined_doc_opinions(seed: DataFrame, seed_groups: DataFrame) -> DataFrame:
@@ -59,9 +60,14 @@ def nolabel_doc_opinions(pairs: DataFrame, no_label: str) -> DataFrame:
             .withColumn("label", F.lit(no_label)))
 
 
-def union_annotators(predefined: DataFrame, nolabel: DataFrame) -> DataFrame:
+def union_annotators(predefined: DataFrame, nolabel: DataFrame,
+                     frame_ops: DataFrame | None = None) -> DataFrame:
     """U1 — stack annotator outputs with explicit priority (predefined first,
-    ``contrib/utils/pipelines/sources/rusentrel/extract_text_opinions.py:50-54``)."""
+    ``contrib/utils/pipelines/sources/rusentrel/extract_text_opinions.py:50-54``;
+    the frame-connotation annotator sits between predefined and nolabel)."""
     p = predefined.withColumn("priority", F.lit(PRI_PREDEFINED))
     n = nolabel.withColumn("priority", F.lit(PRI_NOLABEL))
-    return p.unionByName(n)
+    if frame_ops is None:
+        return p.unionByName(n)
+    f = frame_ops.withColumn("priority", F.lit(PRI_FRAMES))
+    return p.unionByName(f).unionByName(n)

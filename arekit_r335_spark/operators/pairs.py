@@ -62,6 +62,8 @@ def candidate_pairs(mentions: DataFrame, cfg: PipelineConfig) -> DataFrame:
                     F.col("t.turn_idx").alias("t_turn"),
                     F.col("s.ent_id").alias("s_ent_id"),
                     F.col("t.ent_id").alias("t_ent_id"),
+                    F.col("s.ind_in_doc").alias("s_ind"),
+                    F.col("t.ind_in_doc").alias("t_ind"),
                     F.col("s.value").alias("s_value"),
                     F.col("t.value").alias("t_value"),
                     F.col("s.group_key").alias("s_group"),

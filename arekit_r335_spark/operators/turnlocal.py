@@ -131,6 +131,54 @@ def nolabel_doc_opinions_local(annotated: DataFrame,
             .withColumn("label", F.lit(cfg.no_label)))
 
 
+def frame_doc_opinions_local(annotated: DataFrame, cfg: PipelineConfig,
+                             polarity: dict[str, str]) -> DataFrame:
+    """J4b (operators/connotation.py) in turn-local form: the pair array and
+    the frame array live in the SAME parse row, so votes are a nested HOF
+    fold — zero additional shuffles; only (conv, s_group, t_group, vote)
+    rows leave the turn, and the vote aggregation reuses the conv_id
+    partitioning (superset clustering)."""
+    from .connotation import polarity_map_col
+
+    pol_map = polarity_map_col(polarity)
+    to = F.col("term_offset")
+    pairs = F.filter(
+        _pair_array(F.col("ms"), cfg),
+        lambda p: ((p["s_ind"] < p["t_ind"])
+                   & (p["s_group"] != p["t_group"])))
+
+    def vote_of(p):
+        def step(acc, f):
+            pol = F.element_at(pol_map, f["frame_id"])
+            f_ind = (to + f["pos"]).cast("long")
+            dv = (F.when(pol == "pos", 1).otherwise(-1)
+                  * F.when(f["negated"], -1).otherwise(1))
+            return acc + F.coalesce(
+                F.when((f_ind > p["s_ind"]) & (f_ind < p["t_ind"])
+                       & pol.isNotNull(), dv),
+                F.lit(0))
+        return F.aggregate(F.col("frames"), F.lit(0).cast("long"), step)
+
+    per_pair = F.transform(
+        pairs, lambda p: F.struct(
+            p["s_group"].alias("s_group"), p["t_group"].alias("t_group"),
+            p["s_value"].alias("s_value"), p["t_value"].alias("t_value"),
+            vote_of(p).alias("vote")))
+    rows = (annotated
+            .select("conv_id", F.explode(per_pair).alias("p"))
+            .select("conv_id", "p.s_group", "p.t_group", "p.s_value",
+                    "p.t_value", "p.vote")
+            .filter(F.col("vote") != 0))
+    agg = (rows.groupBy("conv_id", "s_group", "t_group")
+           .agg(F.sum("vote").alias("__vote"),
+                F.min("s_value").alias("s_value"),
+                F.min("t_value").alias("t_value")))
+    return (agg.filter(F.col("__vote") != 0)
+            .withColumn("label", F.when(F.col("__vote") > 0, F.lit("pos"))
+                        .otherwise(F.lit("neg")))
+            .drop("__vote"))
+
+
 def conv_mentions(annotated: DataFrame) -> DataFrame:
     """One row per conversation: flattened mention array across turns, with
     turn_idx folded into each element (input of the expansion join)."""

@@ -97,6 +97,291 @@ mentions AS (
 )"""
 
 
+def _sq(s: str) -> str:
+    return s.replace("'", "''")
+
+
+def _frames_kg_cte(transcripts_path: str, synonyms_path: str, frames_lex,
+                   negation_words: tuple[str, ...]) -> str:
+    """CTE chain for the FULL-frames parse: per-term rows -> greedy
+    longest-match frame scan -> post-scan positions -> mentions + frame hits.
+
+    The reference's scan (frames.py:47-86) tries span sizes
+    ``max_variant_len-1 .. 1`` greedily left-to-right; a 2-word hit consumes
+    the next term. For span sizes <= 2 the consumption recurrence
+    ``c(i) = h2(i-1) AND NOT c(i-1)`` has a closed form: c(i) is true iff the
+    number of consecutive positions immediately before i where a 2-gram
+    variant matches (h2) is ODD — i.e. parity of the h2-run length, a pure
+    window expression. This keeps the oracle one SQL pass; the builder
+    asserts the lexicon stays within span 2.
+    """
+    assert frames_lex.max_variant_len <= 3, (
+        "SQL frame-scan oracle covers effective span <= 2 "
+        "(scan sizes are max_variant_len-1..1)")
+    var_rows = []
+    for phrase, fid in sorted(frames_lex.variants.items()):
+        nw = len(phrase.split())
+        if 1 <= nw < frames_lex.max_variant_len:
+            var_rows.append(f"('{_sq(phrase)}', '{_sq(fid)}', {nw})")
+    pol_rows = [f"('{_sq(fid)}', '{_sq(p)}')"
+                for fid, p in sorted(frames_lex.polarity.items())]
+    assert var_rows and pol_rows, "frames oracle needs a non-empty lexicon"
+    neg_list = ", ".join(f"'{_sq(w.lower())}'" for w in negation_words)
+
+    w = "u.word"
+    # single mapped punctuation chars (dash included); '\n' cannot occur
+    # inside a whitespace-split word
+    return f"""
+WITH words AS (
+  SELECT conv_id, turn_idx, u.word, u.ord,
+         {ENT_SQL.format(w=w)} AS is_ent,
+         {URL_SQL.format(w=w)} AS is_url,
+         CASE WHEN {ENT_SQL.format(w=w)}
+              THEN lower(substr(u.word, 2, length(u.word) - 2)) END AS ent_value
+  FROM (
+    SELECT conv_id, turn_idx,
+           unnest(string_split_regex(trim(text), '\\s+')) AS word,
+           generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS ord
+    FROM read_parquet('{transcripts_path}')
+    WHERE trim(text) <> ''
+  ) u
+),
+terms0 AS (
+  SELECT conv_id, turn_idx, ord, is_ent, is_url, ent_value,
+         CASE WHEN is_ent OR is_url THEN [word]
+              ELSE regexp_extract_all(word, '{FSM_SQL}') END AS toks
+  FROM words
+),
+terms1 AS (
+  SELECT conv_id, turn_idx, ord, is_ent, is_url, ent_value,
+         unnest(toks) AS tok, generate_subscripts(toks, 1) AS sub
+  FROM terms0
+),
+terms AS (
+  SELECT conv_id, turn_idx, ord, sub, ent_value, tok,
+         CASE WHEN is_ent THEN 'e'
+              WHEN is_url THEN 't'
+              WHEN regexp_matches(tok, '^[0-9]+$') THEN 't'
+              WHEN length(tok) = 1
+                   AND tok IN (',','.','…',':',';','—','?','!','(',')','{{','}}',
+                               '[',']','«','»','"','-') THEN 't'
+              ELSE 'w' END AS kind,
+         CAST(ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx
+              ORDER BY ord, sub) - 1 AS BIGINT) AS tidx
+  FROM terms1
+),
+fvar(phrase, frame_id, nw) AS (VALUES {", ".join(var_rows)}),
+fpol(frame_id, pol) AS (VALUES {", ".join(pol_rows)}),
+lem AS (
+  SELECT *, CASE WHEN kind = 'w' THEN lower(tok) END AS lemma,
+         lead(CASE WHEN kind = 'w' THEN lower(tok) END) OVER (
+             PARTITION BY conv_id, turn_idx ORDER BY tidx) AS next_lemma
+  FROM terms
+),
+matched AS (
+  SELECT l.*, v2.frame_id AS fid2, v1.frame_id AS fid1,
+         (v2.frame_id IS NOT NULL) AS h2,
+         CASE WHEN v2.frame_id IS NOT NULL
+              THEN l.lemma || ' ' || l.next_lemma ELSE l.lemma END AS hphrase
+  FROM lem l
+  LEFT JOIN fvar v2 ON v2.nw = 2 AND l.lemma IS NOT NULL
+       AND l.next_lemma IS NOT NULL
+       AND v2.phrase = l.lemma || ' ' || l.next_lemma
+  LEFT JOIN fvar v1 ON v1.nw = 1 AND v1.phrase = l.lemma
+),
+cons AS (
+  SELECT *,
+         ((tidx - 1 - COALESCE(MAX(CASE WHEN NOT h2 THEN tidx END) OVER (
+             PARTITION BY conv_id, turn_idx ORDER BY tidx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)) % 2 = 1)
+           AS consumed
+  FROM matched
+),
+hits AS (
+  SELECT *,
+         (NOT consumed AND (h2 OR fid1 IS NOT NULL)) AS hit,
+         CASE WHEN h2 THEN fid2 ELSE fid1 END AS hit_fid
+  FROM cons
+),
+emitted AS (
+  SELECT *,
+         hit AND COALESCE(NOT lag(consumed) OVER tw
+                          AND NOT lag(hit) OVER tw
+                          AND lag(kind) OVER tw = 'w'
+                          AND lag(lemma) OVER tw IN ({neg_list}), FALSE)
+           AS negated,
+         CAST(tidx - SUM(CASE WHEN consumed THEN 1 ELSE 0 END) OVER (
+             PARTITION BY conv_id, turn_idx ORDER BY tidx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS out_pos
+  FROM hits
+  WINDOW tw AS (PARTITION BY conv_id, turn_idx ORDER BY tidx)
+  QUALIFY NOT consumed
+),
+fturn AS (
+  SELECT conv_id, turn_idx, CAST(COUNT(*) AS BIGINT) AS n_terms
+  FROM emitted GROUP BY 1, 2
+),
+foff AS (
+  SELECT conv_id, turn_idx, n_terms,
+         CAST(COALESCE(SUM(n_terms) OVER (
+             PARTITION BY conv_id ORDER BY turn_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS term_offset
+  FROM fturn
+),
+syn AS (
+  SELECT lower(trim(value)) AS sid, MIN(group_id) AS group_id
+  FROM read_parquet('{synonyms_path}') GROUP BY 1
+),
+mentions AS (
+  SELECT e.conv_id, e.turn_idx,
+         e.out_pos AS pos_in_turn,
+         CAST(o.term_offset + e.out_pos AS BIGINT) AS ind_in_doc,
+         e.ent_value AS value,
+         CAST(ROW_NUMBER() OVER (PARTITION BY e.conv_id
+              ORDER BY e.turn_idx, e.out_pos) - 1 AS BIGINT) AS ent_id,
+         COALESCE('g' || CAST(s.group_id AS VARCHAR),
+                  'u:' || trim(e.ent_value)) AS group_key
+  FROM emitted e
+  JOIN foff o USING (conv_id, turn_idx)
+  LEFT JOIN syn s ON s.sid = trim(e.ent_value)
+  WHERE e.kind = 'e'
+),
+fhits AS (
+  SELECT e.conv_id, e.turn_idx,
+         e.out_pos AS pos_in_turn,
+         CAST(o.term_offset + e.out_pos AS BIGINT) AS ind_in_doc,
+         e.hit_fid AS frame_id, e.negated
+  FROM emitted e
+  JOIN foff o USING (conv_id, turn_idx)
+  WHERE e.hit
+)"""
+
+
+def frame_hits_sql(transcripts_path: str, synonyms_path: str, frames_lex,
+                   negation_words: tuple[str, ...]) -> str:
+    """T4-T6 oracle: the full greedy frame scan with negation, hash-checked
+    (closes the round-1 ``kg_frame_hits`` rows-only gap)."""
+    return (_frames_kg_cte(transcripts_path, synonyms_path, frames_lex,
+                           negation_words) + """
+SELECT conv_id, turn_idx, pos_in_turn, ind_in_doc, frame_id, negated
+FROM fhits
+ORDER BY conv_id, turn_idx, pos_in_turn""")
+
+
+def _frames_doc_ops_cte(seed_path: str, dist_bound: int = 50,
+                        no_label: str = "nolabel") -> str:
+    """cand/votes/doc_ops CTEs on top of ``_frames_kg_cte`` (frames-mode
+    mentions + hits): the three-annotator union with priorities 0/1/2."""
+    return f""",
+cand AS (
+  SELECT m1.conv_id, m1.turn_idx,
+         m1.ent_id AS s_ent_id, m2.ent_id AS t_ent_id,
+         m1.ind_in_doc AS s_ind, m2.ind_in_doc AS t_ind,
+         m1.group_key AS s_group, m2.group_key AS t_group
+  FROM mentions m1
+  JOIN mentions m2
+    ON m1.conv_id = m2.conv_id AND m1.turn_idx = m2.turn_idx
+   AND m1.ent_id <> m2.ent_id
+   AND abs(m1.ind_in_doc - m2.ind_in_doc) <= {dist_bound}
+),
+nolabel_ops AS (
+  SELECT DISTINCT conv_id, s_group, t_group,
+         '{no_label}' AS label, 2 AS priority
+  FROM cand WHERE s_group <> t_group
+),
+votes AS (
+  SELECT c.conv_id, c.s_group, c.t_group,
+         SUM((CASE WHEN p.pol = 'pos' THEN 1 ELSE -1 END)
+             * (CASE WHEN f.negated THEN -1 ELSE 1 END)) AS vote
+  FROM cand c
+  JOIN fhits f ON f.conv_id = c.conv_id AND f.turn_idx = c.turn_idx
+              AND f.ind_in_doc > c.s_ind AND f.ind_in_doc < c.t_ind
+  JOIN fpol p ON p.frame_id = f.frame_id
+  WHERE c.s_ind < c.t_ind AND c.s_group <> c.t_group
+  GROUP BY 1, 2, 3
+),
+frame_ops AS (
+  SELECT conv_id, s_group, t_group,
+         CASE WHEN vote > 0 THEN 'pos' ELSE 'neg' END AS label, 1 AS priority
+  FROM votes WHERE vote <> 0
+),
+seed_g AS (
+  SELECT o.conv_id,
+         COALESCE('g' || CAST(ss.group_id AS VARCHAR),
+                  'u:' || lower(trim(o.source_value))) AS s_group,
+         COALESCE('g' || CAST(st.group_id AS VARCHAR),
+                  'u:' || lower(trim(o.target_value))) AS t_group,
+         o.label, o.seq
+  FROM read_parquet('{seed_path}') o
+  LEFT JOIN syn ss ON ss.sid = lower(trim(o.source_value))
+  LEFT JOIN syn st ON st.sid = lower(trim(o.target_value))
+),
+pre_ops AS (
+  SELECT conv_id, s_group, t_group, label, 0 AS priority
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id, s_group, t_group
+                                 ORDER BY seq) AS rn
+    FROM seed_g WHERE s_group <> t_group
+  ) WHERE rn = 1
+),
+doc_ops AS (
+  SELECT * FROM pre_ops
+  UNION ALL SELECT * FROM frame_ops
+  UNION ALL SELECT * FROM nolabel_ops
+)"""
+
+
+def triples_frames_sql(transcripts_path: str, synonyms_path: str,
+                       seed_path: str, frames_lex,
+                       negation_words: tuple[str, ...],
+                       dist_bound: int = 50, window: int = 50) -> str:
+    """Full EP1 WITH the frame-connotation annotator — the flagship oracle
+    (closes the round-1 ``kg_triples`` rows-only gap)."""
+    return (_frames_kg_cte(transcripts_path, synonyms_path, frames_lex,
+                           negation_words)
+            + _frames_doc_ops_cte(seed_path, dist_bound) + f""",
+expanded AS (
+  SELECT o.conv_id,
+         ms.turn_idx AS turn_idx,
+         ms.ent_id AS s_ent_id, mt.ent_id AS t_ent_id,
+         ms.value AS s_value, mt.value AS t_value,
+         o.s_group, o.t_group, o.label, o.priority,
+         CAST(abs(ms.ind_in_doc - mt.ind_in_doc) AS BIGINT) AS term_dist
+  FROM doc_ops o
+  JOIN mentions ms ON ms.conv_id = o.conv_id AND ms.group_key = o.s_group
+  JOIN mentions mt ON mt.conv_id = o.conv_id AND mt.group_key = o.t_group
+  WHERE ms.ent_id <> mt.ent_id
+    AND ms.turn_idx = mt.turn_idx
+    AND abs(ms.ind_in_doc - mt.ind_in_doc) < {window}
+),
+deduped AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id, s_ent_id, t_ent_id
+                                 ORDER BY priority) AS rn
+    FROM expanded
+  ) WHERE rn = 1
+)
+SELECT conv_id, turn_idx, s_ent_id, t_ent_id, s_value, t_value,
+       s_group, t_group, label, term_dist
+FROM deduped
+ORDER BY conv_id, s_ent_id, t_ent_id""")
+
+
+def doc_opinions_frames_sql(transcripts_path: str, synonyms_path: str,
+                            seed_path: str, frames_lex,
+                            negation_words: tuple[str, ...]) -> str:
+    """Three-annotator doc-opinion union (predefined 0 / frames 1 /
+    nolabel 2)."""
+    return (_frames_kg_cte(transcripts_path, synonyms_path, frames_lex,
+                           negation_words)
+            + _frames_doc_ops_cte(seed_path) + """
+SELECT conv_id, s_group, t_group, label, CAST(priority AS INT) AS priority
+FROM doc_ops
+ORDER BY conv_id, s_group, t_group, priority""")
+
+
 def mentions_noframes_sql(transcripts_path: str, synonyms_path: str) -> str:
     return (_mentions_cte(transcripts_path, synonyms_path) + """
 SELECT conv_id, turn_idx, ent_id, pos_in_turn, ind_in_doc, value, group_key
@@ -129,8 +414,10 @@ cand AS (
    AND abs(m1.ind_in_doc - m2.ind_in_doc) <= {dist_bound}
 ),
 nolabel_ops AS (
+  -- priority 2: the frame-connotation annotator (priority 1) sits between
+  -- predefined and nolabel; it emits nothing with an empty frames lexicon
   SELECT DISTINCT conv_id, s_group, t_group,
-         '{no_label}' AS label, 1 AS priority
+         '{no_label}' AS label, 2 AS priority
   FROM cand WHERE s_group <> t_group
 ),
 seed_g AS (

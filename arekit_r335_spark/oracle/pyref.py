@@ -168,6 +168,20 @@ def parse_doc(turn_texts, variants, max_variant_len, negation_words):
 
 # ------------------------------------------------- positions & collections
 
+def collect_frames(sentences):
+    """Frame-hit position pass: (sent_ind, ind_in_doc, frame_id, negated)
+    over the post-scan term stream (frame terms occupy one slot each,
+    frames.py:70-79)."""
+    out = []
+    ind_in_doc = 0
+    for s_ind, terms in enumerate(sentences):
+        for term in terms:
+            if isinstance(term, OFrame):
+                out.append((s_ind, ind_in_doc, term.frame_id, term.negated))
+            ind_in_doc += 1
+    return out
+
+
 def collect_entities(sentences, types_map=None):
     """EntityServiceProvider position pass (entity_service.py:152-168) +
     DocumentEntity ids by enumeration order."""
@@ -301,6 +315,64 @@ def pair_based_opinions(entities, existed, synonyms, cfg: OConfig):
     return collection
 
 
+def frame_based_opinions(entities, frames_pos, synonyms, polarity,
+                         cfg: OConfig):
+    """Frame-connotation annotator (operators/connotation.py docstring):
+    RuSentiFramesConnotationProvider.try_provide a0->a1 polarity
+    (rusentiframes_sentiment.py:20-23, collection.py:56-66) applied as pair
+    distant supervision; negation inverts (term_connotation.py:40-41);
+    doc-level label = sign of the vote sum (A1 AVERAGE, single.py:14-24),
+    zero-sum pairs fall through to the nolabel annotator."""
+    votes = {}
+    reps = {}
+    for e1 in entities:
+        for e2 in entities:
+            if e1.id_in_doc == e2.id_in_doc:
+                continue
+            if _entity_ignored(e1, cfg.type_whitelist):
+                continue
+            if _entity_ignored(e2, cfg.type_whitelist):
+                continue
+            if abs(e1.sent_ind - e2.sent_ind) > cfg.dist_in_sents:
+                continue
+            if cfg.dist_in_terms_bound is not None and \
+                    abs(e1.ind_in_doc - e2.ind_in_doc) > cfg.dist_in_terms_bound:
+                continue
+            if e1.sent_ind != e2.sent_ind:     # votes are same-turn contexts
+                continue
+            if e1.ind_in_doc >= e2.ind_in_doc:  # a0 (agent) precedes a1
+                continue
+            v = 0
+            for (f_sent, f_ind, fid, negated) in frames_pos:
+                if f_sent != e1.sent_ind:
+                    continue
+                if not (e1.ind_in_doc < f_ind < e2.ind_in_doc):
+                    continue
+                pol = polarity.get(fid)
+                if pol is None:                 # try_provide -> None
+                    continue
+                dv = 1 if pol == "pos" else -1
+                if negated:
+                    dv = -dv
+                v += dv
+            if v == 0:
+                continue
+            sg = synonyms.group_of(e1.value)
+            tg = synonyms.group_of(e2.value)
+            if sg == tg:
+                continue
+            votes[(sg, tg)] = votes.get((sg, tg), 0) + v
+            reps.setdefault((sg, tg), (e1.value, e2.value))
+    collection = OOpinionCollection(synonyms)
+    for key in sorted(votes):
+        total = votes[key]
+        if total == 0:
+            continue
+        s_value, t_value = reps[key]
+        collection.register(s_value, t_value, "pos" if total > 0 else "neg")
+    return collection
+
+
 def predefined_opinions(seed_rows, synonyms):
     """PredefinedOpinionAnnotationAlgorithm passthrough + collection fill."""
     collection = OOpinionCollection(synonyms)
@@ -345,7 +417,8 @@ def expand_opinions(collection, entities, synonyms, cfg: OConfig):
 
 
 def extract_doc_triples(turn_texts, seed_rows, synonyms, variants,
-                        max_variant_len, cfg: OConfig, types_map=None):
+                        max_variant_len, cfg: OConfig, types_map=None,
+                        polarity=None):
     """Full EP1 for one document. Returns mention-level triples:
     (turn_idx, s_ent_id, t_ent_id, s_value, t_value, s_group, t_group, label).
     """
@@ -354,12 +427,18 @@ def extract_doc_triples(turn_texts, seed_rows, synonyms, variants,
     entities = collect_entities(sentences, types_map)
 
     pre = predefined_opinions(seed_rows, synonyms)
+    collections = [pre]
+    if polarity:
+        frames_pos = collect_frames(sentences)
+        collections.append(frame_based_opinions(
+            entities, frames_pos, synonyms, polarity, cfg))
     nol = pair_based_opinions(entities, existed=None, synonyms=synonyms,
                               cfg=cfg)
+    collections.append(nol)
 
     seen = set()
     triples = []
-    for collection in (pre, nol):          # predefined first (extraction.py:41-46)
+    for collection in collections:         # predefined first (extraction.py:41-46)
         for (e1, e2, label, sg, tg) in expand_opinions(collection, entities,
                                                        synonyms, cfg):
             key = (e1.id_in_doc, e2.id_in_doc)
@@ -373,7 +452,7 @@ def extract_doc_triples(turn_texts, seed_rows, synonyms, variants,
 
 def extract_all_triples(transcripts_pdf, seed_pdf, synonyms_seed_pairs,
                         variants, max_variant_len, cfg: OConfig,
-                        types_map=None):
+                        types_map=None, polarity=None):
     """Run the oracle over a pandas transcripts table; returns a set of
     triple tuples (conv_id, turn_idx, s_ent_id, t_ent_id, s_value, t_value,
     s_group, t_group, label).
@@ -393,7 +472,7 @@ def extract_all_triples(transcripts_pdf, seed_pdf, synonyms_seed_pairs,
             ["conv_id", "turn_idx"]).groupby("conv_id", sort=True):
         triples = extract_doc_triples(
             list(grp["text"]), seed_by_conv.get(conv_id, []), synonyms,
-            variants, max_variant_len, cfg, types_map)
+            variants, max_variant_len, cfg, types_map, polarity=polarity)
         for t in triples:
             out.add((conv_id,) + t)
     return out

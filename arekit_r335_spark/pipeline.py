@@ -24,6 +24,7 @@ from pyspark.storagelevel import StorageLevel
 
 from .config import PipelineConfig
 from .lexicons import FramesLexicon, KgInputs, load_entity_types, load_synonym_seed
+from .operators.connotation import frame_doc_opinions
 from .operators.expansion import (dedup_across_annotators,
                                   expand_to_text_opinions,
                                   triples_schema_select)
@@ -119,6 +120,7 @@ def build_triple_pipeline(spark: SparkSession,
         mentions.count()
 
     pairs = candidate_pairs(mentions, cfg)
+    frames_df = frames_table(parsed)
 
     seed_ops = spark.read.parquet(inputs.seed_opinions)
     predefined = predefined_doc_opinions(seed_ops, seed_df)
@@ -127,7 +129,12 @@ def build_triple_pipeline(spark: SparkSession,
     # existed-opinion exclusion; exclude_existed() stays available for the
     # wiring that supplies one.
     nolabel = nolabel_doc_opinions(pairs, cfg.no_label)
-    doc_opinions = union_annotators(predefined, nolabel)
+    # J4b frame-connotation annotator (operators/connotation.py). Skipped
+    # when the lexicon carries no polarities — an empty lexicon would only
+    # add a dead parse branch to the plan.
+    frame_ops = (frame_doc_opinions(pairs, frames_df, frames_lex.polarity)
+                 if frames_lex.polarity else None)
+    doc_opinions = union_annotators(predefined, nolabel, frame_ops)
 
     expanded = expand_to_text_opinions(doc_opinions, mentions, cfg)
     text_opinions = dedup_across_annotators(expanded)
@@ -135,7 +142,7 @@ def build_triple_pipeline(spark: SparkSession,
 
     return TriplePipelineResult(
         mentions=mentions,
-        frames=frames_table(parsed),
+        frames=frames_df,
         doc_opinions=doc_opinions,
         text_opinions=text_opinions,
         triples=triples,
@@ -170,7 +177,10 @@ def _build_turnlocal(spark: SparkSession, inputs: KgInputs,
     seed_ops = spark.read.parquet(inputs.seed_opinions)
     predefined = predefined_doc_opinions(seed_ops, seed_df)
     nolabel = tl.nolabel_doc_opinions_local(annotated, cfg)
-    doc_opinions = union_annotators(predefined, nolabel)
+    frame_ops = (tl.frame_doc_opinions_local(annotated, cfg,
+                                             frames_lex.polarity)
+                 if frames_lex.polarity else None)
+    doc_opinions = union_annotators(predefined, nolabel, frame_ops)
 
     conv_ms = tl.conv_mentions(annotated)
     expanded = tl.expand_to_text_opinions_local(doc_opinions, conv_ms, cfg)

@@ -86,22 +86,36 @@ def q_kg_doc_opinions_noframes(spark, sf_dir):
 
 
 def q_kg_triples(spark, sf_dir):
-    """EP1 with the full frame lexicon (rows-only driver check; exact parity
-    is covered by tests/test_pipeline_parity.py against the reference
-    transcription oracle)."""
+    """EP1 with the full frame lexicon INCLUDING the J4b frame-connotation
+    annotator (hash-checked against the DuckDB closed-form frame-scan
+    oracle; exact parity additionally via tests/test_pipeline_parity.py)."""
     _, inputs = _kg(spark, sf_dir)
     return build_triple_pipeline(spark, inputs, PipelineConfig(),
                                  persist=False).triples
 
 
 def q_kg_frame_hits(spark, sf_dir):
-    """T4-T6: frame-variant hits with negation (rows-only: greedy
-    longest-match over the term stream is not expressible in one SQL pass)."""
+    """T4-T6: frame-variant hits with negation, hash-checked (the greedy
+    span<=2 scan has a closed form over window functions — see
+    oracle/duck._frames_kg_cte)."""
     _, inputs = _kg(spark, sf_dir)
     res = build_triple_pipeline(spark, inputs, PipelineConfig(),
                                 persist=False)
-    return res.frames.select("conv_id", "turn_idx", "pos_in_turn",
+    return res.frames.select("conv_id", "turn_idx",
+                             F.col("pos_in_turn").cast("long")
+                             .alias("pos_in_turn"),
                              "ind_in_doc", "frame_id", "negated")
+
+
+def q_kg_doc_opinions(spark, sf_dir):
+    """Three-annotator doc-opinion union with frames enabled: predefined(0) /
+    frame-connotation(1) / nolabel(2)."""
+    _, inputs = _kg(spark, sf_dir)
+    res = build_triple_pipeline(spark, inputs, PipelineConfig(),
+                                persist=False)
+    return res.doc_opinions.select(
+        "conv_id", "s_group", "t_group", "label",
+        F.col("priority").cast("int").alias("priority"))
 
 
 def q_kg_canonical_nodes(spark, sf_dir):
@@ -349,6 +363,7 @@ def registry() -> dict:
         "kg_doc_opinions_noframes": q_kg_doc_opinions_noframes,
         "kg_triples": q_kg_triples,
         "kg_frame_hits": q_kg_frame_hits,
+        "kg_doc_opinions": q_kg_doc_opinions,
         "kg_canonical_nodes": q_kg_canonical_nodes,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_ivf": q_knn_ivf,
@@ -379,11 +394,20 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict:
     tr = os.path.join(data_dir, "transcripts.parquet")
     syn = os.path.join(data_dir, "synonyms.parquet")
     seed = os.path.join(data_dir, "seed_opinions.parquet")
+    from .config import NEGATION_WORDS
     from .oracle import duck_docs
+    frames_lex = FramesLexicon.from_json(os.path.join(data_dir, "frames.json"))
     out = {
         "kg_mentions_noframes": duck.mentions_noframes_sql(tr, syn),
         "kg_turn_stats_noframes": duck.turn_stats_noframes_sql(tr),
         "kg_triples_noframes": duck.triples_noframes_sql(tr, syn, seed),
+        "kg_triples": duck.triples_frames_sql(tr, syn, seed, frames_lex,
+                                              NEGATION_WORDS),
+        "kg_frame_hits": duck.frame_hits_sql(tr, syn, frames_lex,
+                                             NEGATION_WORDS),
+        "kg_doc_opinions": duck.doc_opinions_frames_sql(tr, syn, seed,
+                                                        frames_lex,
+                                                        NEGATION_WORDS),
         "kg_doc_opinions_noframes":
             duck.doc_opinions_noframes_sql(tr, syn, seed),
         "kg_canonical_nodes": duck.canonical_nodes_sql(

@@ -30,7 +30,8 @@ def run_both(spark, data_dir, cfg, ocfg, types_map=None):
     syn = pd.read_parquet(inputs.synonyms)
     want = pyref.extract_all_triples(
         tr, seed, list(zip(syn["group_id"], syn["value"])),
-        frames.variants, frames.max_variant_len, ocfg, types_map)
+        frames.variants, frames.max_variant_len, ocfg, types_map,
+        polarity=frames.polarity)
     return got, want
 
 
@@ -49,6 +50,24 @@ def test_triples_parity_default(spark, sf0001_dir):
     # design goal is exact parity, not just the 0.95 gate
     assert got == want, (
         sorted(got - want)[:5], sorted(want - got)[:5])
+
+
+def test_frame_connotation_labels_triples(spark, sf0001_dir):
+    """The J4b frame-connotation annotator must actually LABEL triples:
+    pos/neg labels on non-seed mention pairs (priority between predefined and
+    nolabel), not just constant nolabel — exact parity with the pyref
+    transcription of try_provide + negation-invert + AVERAGE sign."""
+    got, want = run_both(spark, sf0001_dir, PipelineConfig(), pyref.OConfig())
+    assert got == want
+    from arekit_r335_spark.operators.opinions import PRI_FRAMES
+    inputs = KgInputs.at(sf0001_dir)
+    res = build_triple_pipeline(spark, inputs, PipelineConfig(),
+                                persist=False)
+    frame_rows = res.text_opinions.filter(
+        res.text_opinions.priority == PRI_FRAMES)
+    labs = {r.label for r in frame_rows.select("label").distinct().collect()}
+    assert frame_rows.count() > 0
+    assert labs <= {"pos", "neg"} and labs
 
 
 def test_triples_parity_tight_window(spark, sf0001_dir):
