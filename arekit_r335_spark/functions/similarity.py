@@ -142,16 +142,43 @@ def knn_ivf(embeddings: DataFrame, query_ids: list[int], k: int = 10,
             .select("query_id", "neighbor_id", "rank", "cos_e5"))
 
 
-def knn_lsh(embeddings: DataFrame, query_ids: list[int], k: int = 10,
-            n_planes: int = 3, n_tables: int = 6, dim: int = 64) -> DataFrame:
-    """Approximate top-k: multi-table sign-LSH (L independent tables of a few
-    planes each — candidate recall 1-(1-p^planes)^tables), union of same-
-    bucket candidates, exact cosine rerank. Schema = knn_bruteforce."""
-    e = embeddings
-    tables = []
+def planes_for_corpus(n_rows: int, target_bucket_rows: int = 256) -> int:
+    """Bucket count must scale with the corpus: ~log2(N / target rows per
+    bucket) planes keeps the expected per-bucket candidate set constant as N
+    grows (a fixed plane count makes every bucket ~N/2^planes rows — a
+    candidate blowup at corpus scale). Floor of 3 keeps small fixtures
+    multi-bucket."""
+    import math
+    if n_rows <= target_bucket_rows:
+        return 3
+    return max(3, math.ceil(math.log2(n_rows / target_bucket_rows)))
+
+
+def lsh_table_planes(n_tables: int, n_planes: int,
+                     dim: int = 64) -> list[list[list[float]]]:
+    """The deterministic per-table hyperplane sets (shared with the DuckDB
+    oracle builder, which inlines them as literals)."""
+    out = []
     for t in range(n_tables):
         planes = default_planes(dim * (t + 1), n_planes)
-        planes = [p[-dim:] for p in planes]   # distinct per-table planes
+        out.append([p[-dim:] for p in planes])   # distinct per-table planes
+    return out
+
+
+def knn_lsh(embeddings: DataFrame, query_ids: list[int], k: int = 10,
+            n_planes: int | None = None, n_tables: int = 6,
+            dim: int = 64) -> DataFrame:
+    """Approximate top-k: multi-table sign-LSH (L independent tables of a few
+    planes each — candidate recall 1-(1-p^planes)^tables), union of same-
+    bucket candidates, exact cosine rerank. Schema = knn_bruteforce.
+
+    ``n_planes=None`` derives the plane count from the corpus size
+    (``planes_for_corpus``) so buckets stay bounded as N grows."""
+    if n_planes is None:
+        n_planes = planes_for_corpus(embeddings.count())
+    e = embeddings
+    tables = []
+    for t, planes in enumerate(lsh_table_planes(n_tables, n_planes, dim)):
         tables.append(e.select(
             "vec_id", "embedding", F.lit(t).alias("table_id"),
             _srp_bucket(F.col("embedding"), planes).alias("bucket")))

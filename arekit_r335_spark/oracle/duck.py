@@ -557,6 +557,185 @@ FROM grp g LEFT JOIN comp c ON c.node = g.group_key
 ORDER BY g.group_key"""
 
 
+_TOKEN_MAP = {
+    ",": "<[,]>", ".": "<[.]>", "…": "<[…]>", ":": "<[:]>", ";": "<[;]>",
+    "-": "<[-]>", "—": "<[long_dash]>", "?": "<[?]>", "!": "<[!]>",
+    "(": "<[OPEN_BRACKET]>", ")": "<[CLOSED_BRACKET]>",
+    "{": "<[OPEN_BRACKET]>", "}": "<[CLOSED_BRACKET]>",
+    "[": "<[OPEN_BRACKET]>", "]": "<[CLOSED_BRACKET]>",
+    "«": "<[QUOTE]>", "»": "<[QUOTE]>", '"': "<[QUOTE]>",
+}
+
+
+def samples_noframes_sql(transcripts_path: str, synonyms_path: str,
+                         seed_path: str, types_map: dict[str, str],
+                         dist_bound: int = 50, window: int = 50) -> str:
+    """EP2 oracle (no-frames): the full sample table — #S/#O/#E masking as a
+    per-sample ordered string aggregation over the term stream, entity
+    columns, uint labels, content-derived ids (operators/samples.py)."""
+    tok_case = " ".join(
+        f"WHEN tok = '{_sq(c)}' THEN '{_sq(v)}'"
+        for c, v in sorted(_TOKEN_MAP.items()))
+    if types_map:
+        trows = ", ".join(f"('{_sq(k)}', '{_sq(v)}')"
+                          for k, v in sorted(types_map.items()))
+        types_cte = f"etypes(value, ent_type) AS (VALUES {trows})"
+    else:
+        types_cte = ("etypes(value, ent_type) AS "
+                     "(SELECT NULL, NULL WHERE FALSE)")
+    w = "u.word"
+    return f"""
+WITH words AS (
+  SELECT conv_id, turn_idx, u.word, u.ord,
+         {ENT_SQL.format(w=w)} AS is_ent,
+         {URL_SQL.format(w=w)} AS is_url,
+         CASE WHEN {ENT_SQL.format(w=w)}
+              THEN lower(substr(u.word, 2, length(u.word) - 2)) END AS ent_value
+  FROM (
+    SELECT conv_id, turn_idx,
+           unnest(string_split_regex(trim(text), '\\s+')) AS word,
+           generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS ord
+    FROM read_parquet('{transcripts_path}')
+    WHERE trim(text) <> ''
+  ) u
+),
+terms1 AS (
+  SELECT conv_id, turn_idx, ord, is_ent, is_url, ent_value,
+         unnest(toks) AS tok, generate_subscripts(toks, 1) AS sub
+  FROM (
+    SELECT *, CASE WHEN is_ent OR is_url THEN [word]
+                   ELSE regexp_extract_all(word, '{FSM_SQL}') END AS toks
+    FROM words
+  )
+),
+terms AS (
+  SELECT conv_id, turn_idx, ent_value,
+         CASE WHEN is_ent THEN 'e'
+              WHEN is_url OR regexp_matches(tok, '^[0-9]+$')
+                   OR (length(tok) = 1 AND NOT regexp_matches(tok, '^[0-9]$')
+                       AND ({" OR ".join(f"tok = '{_sq(c)}'" for c in sorted(_TOKEN_MAP))}))
+                   THEN 't'
+              ELSE 'w' END AS kind,
+         CASE WHEN is_ent THEN ent_value
+              WHEN is_url THEN '<[URL]>'
+              WHEN regexp_matches(tok, '^[0-9]+$') THEN '<[NUMBER]>'
+              {tok_case}
+              ELSE tok END AS ttext,
+         CAST(ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx
+              ORDER BY ord, sub) - 1 AS BIGINT) AS tidx
+  FROM terms1
+),
+syn AS (
+  SELECT lower(trim(value)) AS sid, MIN(group_id) AS group_id
+  FROM read_parquet('{synonyms_path}') GROUP BY 1
+),
+{types_cte},
+mentions AS (
+  SELECT t.conv_id, t.turn_idx,
+         t.tidx AS pos_in_turn,
+         CAST(o.term_offset + t.tidx AS BIGINT) AS ind_in_doc,
+         t.ent_value AS value,
+         CAST(ROW_NUMBER() OVER (PARTITION BY t.conv_id
+              ORDER BY t.turn_idx, t.tidx) - 1 AS BIGINT) AS ent_id,
+         COALESCE('g' || CAST(s.group_id AS VARCHAR),
+                  'u:' || trim(t.ent_value)) AS group_key
+  FROM terms t
+  JOIN (
+    SELECT conv_id, turn_idx, n_terms,
+           CAST(COALESCE(SUM(n_terms) OVER (
+               PARTITION BY conv_id ORDER BY turn_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             AS term_offset
+    FROM (SELECT conv_id, turn_idx, COUNT(*) AS n_terms
+          FROM terms GROUP BY 1, 2)
+  ) o USING (conv_id, turn_idx)
+  LEFT JOIN syn s ON s.sid = trim(t.ent_value)
+  WHERE t.kind = 'e'
+),
+cand AS (
+  SELECT m1.conv_id, m1.group_key AS s_group, m2.group_key AS t_group
+  FROM mentions m1
+  JOIN mentions m2
+    ON m1.conv_id = m2.conv_id AND m1.turn_idx = m2.turn_idx
+   AND m1.ent_id <> m2.ent_id
+   AND abs(m1.ind_in_doc - m2.ind_in_doc) <= {dist_bound}
+),
+nolabel_ops AS (
+  SELECT DISTINCT conv_id, s_group, t_group, 'nolabel' AS label, 2 AS priority
+  FROM cand WHERE s_group <> t_group
+),
+seed_g AS (
+  SELECT o.conv_id,
+         COALESCE('g' || CAST(ss.group_id AS VARCHAR),
+                  'u:' || lower(trim(o.source_value))) AS s_group,
+         COALESCE('g' || CAST(st.group_id AS VARCHAR),
+                  'u:' || lower(trim(o.target_value))) AS t_group,
+         o.label, o.seq
+  FROM read_parquet('{seed_path}') o
+  LEFT JOIN syn ss ON ss.sid = lower(trim(o.source_value))
+  LEFT JOIN syn st ON st.sid = lower(trim(o.target_value))
+),
+pre_ops AS (
+  SELECT conv_id, s_group, t_group, label, 0 AS priority
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id, s_group, t_group
+                                 ORDER BY seq) AS rn
+    FROM seed_g WHERE s_group <> t_group
+  ) WHERE rn = 1
+),
+doc_ops AS (SELECT * FROM pre_ops UNION ALL SELECT * FROM nolabel_ops),
+deduped AS (
+  SELECT * FROM (
+    SELECT e.*, ROW_NUMBER() OVER (PARTITION BY conv_id, s_ent_id, t_ent_id
+                                   ORDER BY priority) AS rn
+    FROM (
+      SELECT o.conv_id, ms.turn_idx AS turn_idx,
+             ms.ent_id AS s_ent_id, mt.ent_id AS t_ent_id,
+             ms.pos_in_turn AS s_pos, mt.pos_in_turn AS t_pos,
+             o.s_group, o.t_group, o.label, o.priority
+      FROM doc_ops o
+      JOIN mentions ms ON ms.conv_id = o.conv_id AND ms.group_key = o.s_group
+      JOIN mentions mt ON mt.conv_id = o.conv_id AND mt.group_key = o.t_group
+      WHERE ms.ent_id <> mt.ent_id
+        AND ms.turn_idx = mt.turn_idx
+        AND abs(ms.ind_in_doc - mt.ind_in_doc) < {window}
+    ) e
+  ) WHERE rn = 1
+)
+SELECT
+  'o' || d.conv_id || '_' || CAST(d.s_ent_id AS VARCHAR) || '_'
+      || CAST(d.t_ent_id AS VARCHAR) || '_i0' AS id,
+  d.conv_id AS doc_id,
+  CAST(d.turn_idx AS INT) AS sent_ind,
+  CAST(CASE d.label WHEN 'nolabel' THEN 0 WHEN 'pos' THEN 1
+       WHEN 'neg' THEN 2 END AS INT) AS label,
+  string_agg(
+    CASE WHEN t.kind = 'e' THEN
+           CASE WHEN t.tidx = d.s_pos THEN '#S'
+                WHEN t.tidx = d.t_pos THEN '#O'
+                WHEN COALESCE('g' || CAST(s.group_id AS VARCHAR),
+                              'u:' || t.ent_value) = d.s_group THEN '#S'
+                WHEN COALESCE('g' || CAST(s.group_id AS VARCHAR),
+                              'u:' || t.ent_value) = d.t_group THEN '#O'
+                ELSE '#E' END
+         ELSE t.ttext END, ' ' ORDER BY t.tidx) AS text_a,
+  string_agg(replace(t.ent_value, ',', ''), ',' ORDER BY t.tidx)
+    FILTER (WHERE t.kind = 'e') AS entity_values,
+  string_agg(COALESCE(ty.ent_type, ''), ',' ORDER BY t.tidx)
+    FILTER (WHERE t.kind = 'e') AS entity_types,
+  string_agg(CAST(t.tidx AS VARCHAR), ',' ORDER BY t.tidx)
+    FILTER (WHERE t.kind = 'e') AS entities,
+  d.s_pos AS s_ind,
+  d.t_pos AS t_ind
+FROM deduped d
+JOIN terms t ON t.conv_id = d.conv_id AND t.turn_idx = d.turn_idx
+LEFT JOIN syn s ON t.kind = 'e' AND s.sid = trim(t.ent_value)
+LEFT JOIN etypes ty ON t.kind = 'e' AND ty.value = t.ent_value
+GROUP BY d.conv_id, d.turn_idx, d.s_ent_id, d.t_ent_id, d.s_pos, d.t_pos,
+         d.s_group, d.t_group, d.label
+ORDER BY id"""
+
+
 def knn_bruteforce_sql(n_queries: int = 10, k: int = 10, dim: int = 64) -> str:
     """Exact arithmetic replica of functions/similarity.knn_bruteforce:
     sequential double fold for dot/norms, rounded-score ranking."""
@@ -631,6 +810,59 @@ scored AS (
   SELECT p.query_id, a.vec_id AS neighbor_id, {cos('p', 'a')} AS cos_e5
   FROM probed p JOIN assigned a ON a.list_id = p.list_id
   WHERE p.query_id <> a.vec_id
+)
+SELECT query_id, neighbor_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cos_e5 DESC, neighbor_id) AS INT) AS rank,
+       cos_e5
+FROM scored
+QUALIFY rank <= {k}
+ORDER BY query_id, rank"""
+
+
+def knn_lsh_sql(table_planes: list, n_queries: int = 10, k: int = 10,
+                dim: int = 64) -> str:
+    """Replica of functions/similarity.knn_lsh: the per-table SRP bucket ids
+    are recomputed from the SAME literal hyperplanes (inlined by the
+    builder), candidates = same bucket in ANY table, exact rounded-cosine
+    rerank. The projection sum is written as an explicit left-associative
+    chain so the float summation order matches Spark's sequential
+    ``aggregate`` fold bit-for-bit (same bucket signs)."""
+
+    def proj(prefix: str, plane: list[float]) -> str:
+        return " + ".join(
+            f"({prefix}.embedding[{i + 1}]::DOUBLE) * ({p!r})"
+            for i, p in enumerate(plane))
+
+    def bucket(prefix: str, planes: list[list[float]]) -> str:
+        bits = [f"(CASE WHEN {proj(prefix, plane)} >= 0 "
+                f"THEN {2 ** i} ELSE 0 END)"
+                for i, plane in enumerate(planes)]
+        return "(" + " + ".join(bits) + ")"
+
+    bcols = ", ".join(
+        f"{bucket('e', planes)} AS b{t}"
+        for t, planes in enumerate(table_planes))
+    same_bucket = " OR ".join(
+        f"q.b{t} = c.b{t}" for t in range(len(table_planes)))
+    dot = (f"list_sum(list_transform(range(1, {dim} + 1), "
+           "i -> (q.embedding[i]::DOUBLE) * (c.embedding[i]::DOUBLE)))")
+    nq = (f"list_sum(list_transform(range(1, {dim} + 1), "
+          "i -> (q.embedding[i]::DOUBLE) * (q.embedding[i]::DOUBLE)))")
+    nc = (f"list_sum(list_transform(range(1, {dim} + 1), "
+          "i -> (c.embedding[i]::DOUBLE) * (c.embedding[i]::DOUBLE)))")
+    return f"""
+WITH b AS (
+  SELECT e.vec_id, e.embedding, {bcols}
+  FROM embeddings e
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(round({dot} / (sqrt({nq}) * sqrt({nc})) * 100000, 0) AS BIGINT)
+           AS cos_e5
+  FROM b q JOIN b c
+    ON q.vec_id < {n_queries} AND q.vec_id <> c.vec_id
+   AND ({same_bucket})
 )
 SELECT query_id, neighbor_id,
        CAST(ROW_NUMBER() OVER (PARTITION BY query_id

@@ -198,13 +198,17 @@ def _build_turnlocal(spark: SparkSession, inputs: KgInputs,
 
 def build_samples_pipeline(spark: SparkSession, inputs: KgInputs,
                            cfg: PipelineConfig | None = None,
-                           store_labels: bool = True) -> DataFrame:
+                           store_labels: bool = True,
+                           frames_override: FramesLexicon | None = None
+                           ) -> DataFrame:
     """EP2: triples -> flat ML sample rows (operators/samples.py)."""
     from .operators.samples import build_samples
 
     cfg = cfg or PipelineConfig()
-    res = build_triple_pipeline(spark, inputs, cfg)
-    frames_lex = FramesLexicon.from_json(inputs.frames)
+    res = build_triple_pipeline(spark, inputs, cfg,
+                                frames_override=frames_override)
+    frames_lex = (frames_override if frames_override is not None
+                  else FramesLexicon.from_json(inputs.frames))
     parsed_full = parse_transcripts(spark.read.parquet(inputs.transcripts),
                                     frames_lex, cfg, with_terms=True)
     seed = load_synonym_seed(inputs.synonyms)

@@ -17,7 +17,8 @@ from pyspark.sql import functions as F
 
 from .config import PipelineConfig
 from .datagen import repo_data_dir
-from .lexicons import FramesLexicon, KgInputs, load_synonym_seed
+from .lexicons import (FramesLexicon, KgInputs, load_entity_types,
+                       load_synonym_seed)
 from .operators.grouping import seed_groups_df, with_group_key
 from .operators.mentions import mentions_table
 from .operators.parse import parse_transcripts
@@ -209,11 +210,14 @@ def q_kg_opinion_rollup_noframes(spark, sf_dir):
 
 
 def q_kg_samples(spark, sf_dir):
-    """EP2 sample serialization (T9/T10 masking; rows-only — masking
-    invariants are pytest-asserted per sample row)."""
+    """EP2 sample serialization (T9/T10 #S/#O/#E masking, entity columns,
+    content-derived ids) in no-frames mode, value-hash checked against a
+    DuckDB string-aggregation oracle; frames-mode masking (frame terms ->
+    matched phrase) is pytest-asserted."""
     from .pipeline import build_samples_pipeline
     _, inputs = _kg(spark, sf_dir)
-    return build_samples_pipeline(spark, inputs)
+    return build_samples_pipeline(spark, inputs,
+                                  frames_override=FramesLexicon.empty())
 
 
 # -------------------------------------------------- documents / embeddings
@@ -408,6 +412,9 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         "kg_doc_opinions": duck.doc_opinions_frames_sql(tr, syn, seed,
                                                         frames_lex,
                                                         NEGATION_WORDS),
+        "kg_samples": duck.samples_noframes_sql(
+            tr, syn, seed, load_entity_types(
+                os.path.join(data_dir, "entity_types.json"))),
         "kg_doc_opinions_noframes":
             duck.doc_opinions_noframes_sql(tr, syn, seed),
         "kg_canonical_nodes": duck.canonical_nodes_sql(
@@ -418,5 +425,13 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         "kg_opinion_rollup_noframes":
             duck.opinion_rollup_noframes_sql(tr, syn, seed),
     }
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    if os.path.exists(emb_path):
+        import pyarrow.parquet as pq
+
+        from .functions.similarity import lsh_table_planes, planes_for_corpus
+        n_rows = pq.ParquetFile(emb_path).metadata.num_rows
+        out["knn_lsh"] = duck.knn_lsh_sql(
+            lsh_table_planes(6, planes_for_corpus(n_rows)))
     out.update(duck_docs.DOC_SQL)
     return out
