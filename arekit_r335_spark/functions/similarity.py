@@ -91,18 +91,25 @@ def knn_ivf(embeddings: DataFrame, query_ids: list[int], k: int = 10,
 
     Centroid selection is the ``n_lists`` smallest ``md5(vec_id)`` rows —
     a seedless deterministic sample (engine-portable, matches the DuckDB
-    oracle). At 100 TB: centroids come from a seeded ``sample()`` (+ optional
-    Lloyd rounds) and the assignment below is unchanged — one broadcast
-    cross-score against a centroid table that stays KB-sized, so the corpus
-    is scanned once and shuffled once on ``list_id``. Assignment and probe
-    ranking order by the ROUNDED score with centroid-id tie-breaks, so list
-    membership is float-portable."""
-    cent = (embeddings
-            .withColumn("__o", F.md5(F.col("vec_id").cast("string")))
-            .withColumn("list_id", F.row_number().over(
-                Window.orderBy(F.col("__o"), F.col("vec_id"))).cast("int"))
-            .filter(F.col("list_id") <= n_lists)
-            .select("list_id", F.col("embedding").alias("cent_emb")))
+    oracle) — computed as a distributed TakeOrdered (``orderBy + limit``:
+    per-partition top-N, driver merge of N-row heads; NEVER a global
+    single-partition window) and collected (n_lists rows, driver-sized) to
+    assign list ids. At 100 TB: centroids come from a seeded ``sample()``
+    (+ optional Lloyd rounds) and the assignment below is unchanged — one
+    broadcast cross-score against a centroid table that stays KB-sized, so
+    the corpus is scanned once and shuffled once on ``list_id``. Assignment
+    and probe ranking order by the ROUNDED score with centroid-id
+    tie-breaks, so list membership is float-portable."""
+    cent_rows = (embeddings
+                 .select("vec_id", "embedding",
+                         F.md5(F.col("vec_id").cast("string")).alias("__o"))
+                 .orderBy("__o", "vec_id")
+                 .limit(n_lists)
+                 .collect())
+    cent = embeddings.sparkSession.createDataFrame(
+        [(i + 1, [float(x) for x in r.embedding])
+         for i, r in enumerate(cent_rows)],
+        "list_id int, cent_emb array<double>")
 
     scored_assign = (embeddings.crossJoin(F.broadcast(cent))
                      .select("vec_id", "embedding", "list_id",

@@ -8,7 +8,7 @@ md5-order determinism (partition-count-invariant; SURVEY.md §4 item 3).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 TRAIN, TEST, DEV, ETALON = "train", "test", "dev", "etalon"
@@ -29,12 +29,18 @@ def fixed_folding(assignments: list[tuple[str, str]], spark) -> DataFrame:
 
 def cv_folding(docs: DataFrame, n_folds: int = 3,
                doc_col: str = "conv_id") -> DataFrame:
-    """C3 — deterministic-shuffle equal chunks (splitters/default.py:6-52):
-    fold = ntile(n) over md5 order. Output (doc, fold)."""
-    w = Window.orderBy(F.md5(F.col(doc_col).cast("string")))
+    """C3 — the seeded-shuffle equal-chunk splitter
+    (splitters/default.py:6-52) re-stated distributed: fold = hash-mod over
+    a base-16-parsed md5 prefix. An ntile over a GLOBAL md5 order would give
+    exact-equal chunk sizes but moves the whole doc set into one task to
+    number it (a single-partition window — the scale-killer shape); hash-mod
+    is map-only, partition-count-invariant, and equally balanced in
+    expectation, which is all the CV contract needs. Output (doc, fold)."""
+    hex15 = F.substring(F.md5(F.col(doc_col).cast("string")), 1, 15)
     return (docs.select(doc_col).distinct()
             .select(F.col(doc_col),
-                    (F.ntile(n_folds).over(w) - 1).cast("int").alias("fold")))
+                    (F.conv(hex15, 16, 10).cast("long") % n_folds)
+                    .cast("int").alias("fold")))
 
 
 def cv_fold_state(folds: DataFrame, test_fold: int) -> DataFrame:

@@ -48,6 +48,34 @@ def _minhash_aggs(k: int) -> str:
         for i in range(k))
 
 
+# MinHash-LSH candidate pairs over the shingle CTE (mirrors
+# functions/dedup.lsh_candidate_pairs: 8 minhashes, 4 bands of 2)
+_LSH_PAIRS_CTE = """
+sig8 AS (
+  SELECT doc_id,
+         {aggs}
+  FROM shingles GROUP BY doc_id
+),
+banded8 AS (
+  SELECT doc_id, 0 AS band, minhash_0 || '#' || minhash_1 AS key FROM sig8
+  UNION ALL
+  SELECT doc_id, 1, minhash_2 || '#' || minhash_3 FROM sig8
+  UNION ALL
+  SELECT doc_id, 2, minhash_4 || '#' || minhash_5 FROM sig8
+  UNION ALL
+  SELECT doc_id, 3, minhash_6 || '#' || minhash_7 FROM sig8
+),
+lshp AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded8 a JOIN banded8 b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)"""
+
+
+def _lsh_pairs_cte() -> str:
+    return _LSH_PAIRS_CTE.format(aggs=_minhash_aggs(8))
+
+
 def _simhash_sql(bits: int = 32) -> str:
     # per-token 32-bit hash == Spark conv(substr(md5(tok),1,8),16,10):
     # bit b lives in hex char (8 - b//4), at position (b % 4) in the nibble.
@@ -152,12 +180,14 @@ FROM banded a JOIN banded b
 
     "dedup_ngram_jaccard": f"""
 WITH {_SHINGLES_CTE},
+{_lsh_pairs_cte()},
 sh AS (SELECT DISTINCT doc_id, shingle FROM shingles),
 sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          CAST(COUNT(*) AS BIGINT) AS inter_size
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN lshp l ON l.doc_a = a.doc_id AND l.doc_b = b.doc_id
   GROUP BY 1, 2
 )
 SELECT i.doc_a, i.doc_b, i.inter_size,
@@ -191,8 +221,8 @@ GROUP BY 1, 2""",
 
     "folding_assign": """
 SELECT doc_id,
-       CAST(ntile(5) OVER (ORDER BY md5(CAST(doc_id AS VARCHAR))) AS INT)
-         AS fold
+       CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                 AS BIGINT) % 5 + 1 AS INT) AS fold
 FROM documents""",
 }
 
@@ -236,12 +266,14 @@ GROUP BY 1, 2"""
 
 DOC_SQL["dedup_clusters"] = f"""
 WITH RECURSIVE {_SHINGLES_CTE.lstrip()},
+{_lsh_pairs_cte()},
 sh AS (SELECT DISTINCT doc_id, shingle FROM shingles),
 sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          CAST(COUNT(*) AS BIGINT) AS inter_size
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN lshp l ON l.doc_a = a.doc_id AND l.doc_b = b.doc_id
   GROUP BY 1, 2
 ),
 pairs AS (

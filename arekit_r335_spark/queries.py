@@ -253,9 +253,13 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
-    from .functions.dedup import ngram_jaccard_pairs
-    return ngram_jaccard_pairs(_read(spark, sf_dir, "documents"),
-                               threshold=0.8)
+    """Exact n-gram Jaccard verification RESTRICTED to MinHash-LSH candidate
+    pairs (the scale path: the shingle self-join only ever touches pairs that
+    share a band bucket — never the full quadratic shingle-shingle join)."""
+    from .functions.dedup import lsh_candidate_pairs, ngram_jaccard_pairs
+    docs = _read(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, threshold=0.8,
+                               candidates=lsh_candidate_pairs(docs))
 
 
 def q_dedup_simhash(spark, sf_dir):
@@ -339,10 +343,11 @@ def q_dedup_clusters(spark, sf_dir):
     """Near-dup CLUSTERS: connected components over the n-gram-Jaccard pair
     graph (reuses the canonicalization CC operator on a second domain).
     (doc_id, cluster_id) for every doc in at least one qualifying pair."""
-    from .functions.dedup import ngram_jaccard_pairs
+    from .functions.dedup import lsh_candidate_pairs, ngram_jaccard_pairs
     from .operators.canonical import connected_components
     docs = _read(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, threshold=0.8)
+    pairs = ngram_jaccard_pairs(docs, threshold=0.8,
+                                candidates=lsh_candidate_pairs(docs))
     edges = pairs.select(F.col("doc_a").cast("string").alias("src"),
                          F.col("doc_b").cast("string").alias("dst"))
     comp = connected_components(edges)
@@ -351,12 +356,17 @@ def q_dedup_clusters(spark, sf_dir):
 
 
 def q_folding_assign(spark, sf_dir):
-    """C3 splitter analog: deterministic 5-fold assignment by md5 order."""
-    from pyspark.sql import Window
+    """C3 splitter analog: deterministic 5-fold assignment by md5 hash-mod —
+    fully distributed (the prior ntile-over-global-order formulation moved
+    the whole table into ONE task to number it; hash-mod is a map-only
+    expression, equally balanced in expectation, and engine-portable via
+    base-16 parsing of the md5 prefix)."""
     docs = _read(spark, sf_dir, "documents").select("doc_id")
-    w = Window.orderBy(F.md5(F.col("doc_id").cast("string")))
-    return docs.select("doc_id",
-                       F.ntile(5).over(w).cast("int").alias("fold"))
+    hex15 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15)
+    return docs.select(
+        "doc_id",
+        (F.conv(hex15, 16, 10).cast("long") % 5 + 1).cast("int")
+        .alias("fold"))
 
 
 def registry() -> dict:

@@ -130,15 +130,18 @@ def test_folding_ops(spark):
     assert nf.count() == 30
 
     cv = cv_folding(docs, 3)
-    sizes = [r.n for r in cv.groupBy("fold").agg(
-        F.count("*").alias("n")).collect()]
-    assert sorted(sizes) == [10, 10, 10]
-    # determinism
+    sizes = {r.fold: r.n for r in cv.groupBy("fold").agg(
+        F.count("*").alias("n")).collect()}
+    # hash-mod folds: every fold populated, balanced in expectation (not
+    # exactly equal — the distributed trade documented in folding.cv_folding)
+    assert set(sizes) == {0, 1, 2} and sum(sizes.values()) == 30
+    assert min(sizes.values()) >= 3
+    # determinism / partition-count invariance
     cv2 = cv_folding(docs.repartition(5), 3)
     assert {tuple(r) for r in cv.collect()} == {tuple(r) for r in cv2.collect()}
 
     state = cv_fold_state(cv, 0)
-    assert state.filter(F.col("data_type") == "test").count() == 10
+    assert state.filter(F.col("data_type") == "test").count() == sizes[0]
 
     stats = spark.createDataFrame(
         [(f"c{i}", (i % 7) + 1) for i in range(30)],

@@ -1,0 +1,51 @@
+"""Static scale guards over the non-test engine source (VERDICT round-1
+item 3 'done' criterion): patterns that are correct at test scale but
+single-task or quadratic at 100 TB must never reappear.
+
+* ``Window.orderBy(...)`` / ``Window.orderBy`` without ``partitionBy`` — a
+  GLOBAL window moves the entire input into one task.
+* ``monotonically_increasing_id`` — partition-count-dependent ids break the
+  N-vs-4N equivalence invariant (SURVEY.md §4 item 3).
+* row-at-a-time Python UDFs (``F.udf`` / ``@udf``) — the engine's Python
+  boundaries are Arrow-batched only.
+"""
+
+import os
+import re
+
+PKG = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "arekit_r335_spark")
+
+
+def _source_files():
+    for root, _dirs, files in os.walk(PKG):
+        if "__pycache__" in root or os.sep + "oracle" in root:
+            # oracle/ is test-only SQL/transcription, not engine code
+            continue
+        for f in files:
+            if f.endswith(".py"):
+                yield os.path.join(root, f)
+
+
+def _grep(pattern):
+    hits = []
+    rx = re.compile(pattern)
+    for path in _source_files():
+        with open(path) as fh:
+            for i, line in enumerate(fh, 1):
+                if rx.search(line):
+                    hits.append(f"{path}:{i}: {line.strip()}")
+    return hits
+
+
+def test_no_global_windows():
+    # Window.orderBy(...) as the window START means no partitionBy
+    assert _grep(r"Window\s*\.\s*orderBy") == []
+
+
+def test_no_monotonically_increasing_id():
+    assert _grep(r"monotonically_increasing_id") == []
+
+
+def test_no_row_python_udfs():
+    assert _grep(r"F\.udf\(|@udf\b|functions\.udf\(") == []
