@@ -9,9 +9,10 @@ Composition of the stage functions (SURVEY.md §3 EP1, §7 stage 2):
          -> triples
 
 No custom pipeline framework: each stage is DataFrame -> DataFrame; Catalyst
-owns the physical plan. The mentions table is the only intermediate used by
-multiple downstream joins — it is persisted (or checkpointed to a table at
-real scale) so the parse UDF runs exactly once over the corpus.
+owns the physical plan. The parse output is the one intermediate consumed by
+multiple downstream joins — it is localCheckpoint'ed (or written to a
+conv_id-bucketed table at real scale) so the Arrow parse runs exactly once
+over the corpus regardless of plan fan-out.
 """
 
 from __future__ import annotations
@@ -20,7 +21,6 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 from .config import PipelineConfig
 from .lexicons import FramesLexicon, KgInputs, load_entity_types, load_synonym_seed
@@ -98,6 +98,20 @@ def build_triple_pipeline(spark: SparkSession,
                                 frames_lex, seed_syn, seed_df)
 
     parsed = parse_transcripts(transcripts, frames_lex, cfg)
+    # Materialize the parse output ONCE. The triples DAG consumes the parse
+    # from up to 7 branches (mention windows, both pair-join sides, the
+    # frames table, both expansion sides), and AQE exchange reuse canNOT
+    # deduplicate them: per-branch column pruning makes each branch's
+    # exchange subtree non-identical, so the executed plan re-runs
+    # MapInArrow per branch (measured 7x at sf0.1, 16s -> 4-5s after this
+    # checkpoint). ``localCheckpoint`` stores the slim row form (no terms
+    # column) — unlike a ``persist``, which builds Spark's columnar cache of
+    # the nested mention arrays at 5-10x the parse cost in alloc/GC CPU.
+    # ``eager=persist`` lets callers that fan out into concurrent writes
+    # (runner.py) materialize up front. At real cluster scale the same role
+    # is played by writing the parse output to a conv_id-bucketed table
+    # (checkpoint blocks are not replicated; lineage is cut deliberately).
+    parsed = parsed.localCheckpoint(eager=persist)
     mentions = with_group_key(mentions_table(parsed), seed_df,
                               register_missed=cfg.register_missed_synonyms)
     if cfg.entity_type_whitelist is not None:
@@ -109,15 +123,6 @@ def build_triple_pipeline(spark: SparkSession,
             mentions, spark, load_entity_types(inputs.entity_types))
         mentions = mentions.filter(
             F.col("ent_type").isin(list(cfg.entity_type_whitelist)))
-    if persist:
-        # Materialize the cache EAGERLY: the triples DAG scans mentions from
-        # four branches that AQE executes concurrently — if the first action
-        # also populates the cache, the other branches' tasks sit blocked on
-        # BlockManager locks while partition materialization races (observed:
-        # stage run-time 5-8x executor CPU). One cheap count() up front makes
-        # every downstream scan a warm cache read.
-        mentions = mentions.persist(StorageLevel.MEMORY_AND_DISK)
-        mentions.count()
 
     pairs = candidate_pairs(mentions, cfg)
     frames_df = frames_table(parsed)
