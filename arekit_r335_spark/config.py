@@ -45,6 +45,12 @@ class PipelineConfig:
 
     negation_words: tuple[str, ...] = NEGATION_WORDS
 
+    # T5 lemmatization seam: NAME of a backend registered via
+    # ``operators.textproc.register_lemmatizer`` (resolved lazily per
+    # executor process — Mystem-style subprocess backends never ship through
+    # the task closure). "lower" = the deterministic default normalizer.
+    lemmatizer: str = "lower"
+
     def __post_init__(self) -> None:
         if self.terms_per_context <= 0:
             raise ValueError("terms_per_context must be > 0")

@@ -97,6 +97,8 @@ def make_parse_func(frames: FramesLexicon, cfg: PipelineConfig,
     J7a/J12 lookups."""
     variants = dict(frames.variants)
     max_len = frames.max_variant_len
+    first_tokens = tp.first_token_index(variants)
+    lemmatizer_name = getattr(cfg, "lemmatizer", "lower")
     neg = frozenset(w.lower() for w in cfg.negation_words)
     annotate = groups is not None
     register = cfg.register_missed_synonyms
@@ -105,6 +107,11 @@ def make_parse_func(frames: FramesLexicon, cfg: PipelineConfig,
 
     def _parse_batches(batches: Iterator[pa.RecordBatch]
                        ) -> Iterator[pa.RecordBatch]:
+        # lemmatizer resolved lazily PER EXECUTOR (the closure ships only
+        # the name; non-picklable backends build here on first batch);
+        # "lower" keeps the inline fast path inside scan_frames
+        lemma_fn = (None if lemmatizer_name == "lower"
+                    else tp.get_lemmatizer(lemmatizer_name))
         for b in batches:
             texts = b.column(3).to_pylist()
             n_terms: list[int] = []
@@ -118,7 +125,8 @@ def make_parse_func(frames: FramesLexicon, cfg: PipelineConfig,
             t_aux: list[str] = []
             for text in texts:
                 terms = tp.parse_turn(text if isinstance(text, str) else "",
-                                      variants, max_len, neg)
+                                      variants, max_len, neg,
+                                      first_tokens, lemma_fn)
                 n_terms.append(len(terms))
                 for i, t in enumerate(terms):
                     k = t.kind

@@ -124,20 +124,28 @@ def tokenize_turn(text: str) -> list[Term]:
 
 def scan_frames(terms: list[Term], variants: dict[str, str],
                 max_variant_len: int,
-                negation_words: frozenset[str]) -> list[Term]:
+                negation_words: frozenset[str],
+                first_tokens: frozenset[str] | None = None,
+                lemma_fn=None) -> list[Term]:
     """T4/T5 frame scan + T6 negation over a tokenized term list.
 
     ``variants`` maps lowercase phrase -> frame_id. Candidate span lengths are
     ``max_variant_len-1 .. 1`` (frames.py:56-60 quirk). Only runs when
     max_variant_len >= 2, like the reference (max==1 would loop forever there).
+
+    ``first_tokens`` is the precomputed first-token set of the lexicon
+    (``first_token_index``) — pass it in from the caller that owns the
+    lexicon; recomputed here only as a fallback. ``lemma_fn`` is the T5
+    lemmatization seam (default: lowercase normalizer; see ``lemmatizers``).
     """
     if not variants or max_variant_len < 2:
         return terms
-    # Pure optimization (identical output): any hit at ``start`` needs a
-    # variant whose FIRST token equals lemmas[start] — one set lookup skips
-    # the size loop for the overwhelmingly common non-candidate positions.
-    first_tokens = _first_token_index(variants)
-    lemmas = [t.text.lower() if t.kind == W else None for t in terms]
+    if first_tokens is None:
+        first_tokens = first_token_index(variants)
+    if lemma_fn is None:
+        lemmas = [t.text.lower() if t.kind == W else None for t in terms]
+    else:
+        lemmas = [lemma_fn(t.text) if t.kind == W else None for t in terms]
     out: list[Term] = []
     start = 0
     n = len(terms)
@@ -170,22 +178,59 @@ def scan_frames(terms: list[Term], variants: dict[str, str],
     return out
 
 
-_FIRST_TOKEN_CACHE: dict[int, frozenset[str]] = {}
+def first_token_index(variants: dict[str, str]) -> frozenset[str]:
+    """Pure optimization (identical output): any hit at ``start`` needs a
+    variant whose FIRST token equals lemmas[start] — one set lookup skips
+    the size loop for the overwhelmingly common non-candidate positions.
+    Computed ONCE by the owner of the lexicon and passed down (the round-1
+    ``id(dict)``-keyed cache was an address-reuse hazard: a different dict
+    allocated at a GC'd address would silently reuse a stale set)."""
+    return frozenset(v.split(" ", 1)[0] for v in variants)
 
 
-def _first_token_index(variants: dict[str, str]) -> frozenset[str]:
-    key = id(variants)
-    cached = _FIRST_TOKEN_CACHE.get(key)
-    if cached is None:
-        cached = frozenset(v.split(" ", 1)[0] for v in variants)
-        _FIRST_TOKEN_CACHE.clear()
-        _FIRST_TOKEN_CACHE[key] = cached
-    return cached
+# ----------------------------------------------------- lemmatizer seam (T5)
+# The reference's ``LemmasBasedFrameVariantsParser`` delegates to a Stemmer
+# (``common/text/stemmer.py:1-16``; Mystem backend
+# ``contrib/utils/processing/lemmatization/mystem.py:6-51`` — an external
+# process, "significantly slow" per the reference's own note). The engine
+# keeps the same seam: a NAMED backend resolved lazily PER EXECUTOR PROCESS
+# (the name ships in the task closure, the possibly non-picklable backend
+# object never does), defaulting to the deterministic lowercase normalizer.
+
+_LEMMATIZER_FACTORIES: dict = {"lower": lambda: str.lower}
+_LEMMATIZER_CACHE: dict = {}
+
+
+def register_lemmatizer(name: str, factory) -> None:
+    """Register a lemmatizer backend: ``factory() -> (str -> str)``. The
+    factory runs once per executor process on first use."""
+    _LEMMATIZER_FACTORIES[name] = factory
+
+
+def get_lemmatizer(name: str):
+    """Resolve a backend by name. Driver-side ``register_lemmatizer`` calls
+    do NOT reach executor processes, so cluster deployments use the dotted
+    form ``"package.module:factory"`` — imported lazily in whichever process
+    asks (the module ships via --py-files like any code)."""
+    fn = _LEMMATIZER_CACHE.get(name)
+    if fn is None:
+        factory = _LEMMATIZER_FACTORIES.get(name)
+        if factory is None and ":" in name:
+            import importlib
+            mod, attr = name.split(":", 1)
+            factory = getattr(importlib.import_module(mod), attr)
+        if factory is None:
+            raise KeyError(f"unknown lemmatizer backend: {name!r}")
+        fn = factory()
+        _LEMMATIZER_CACHE[name] = fn
+    return fn
 
 
 def parse_turn(text: str, variants: dict[str, str], max_variant_len: int,
-               negation_words: frozenset[str]) -> list[Term]:
+               negation_words: frozenset[str],
+               first_tokens: frozenset[str] | None = None,
+               lemma_fn=None) -> list[Term]:
     """Full per-turn parse: the reference text-parser pipeline
     [entities -> tokenizer -> lemma-frames -> negation] on one turn."""
     return scan_frames(tokenize_turn(text), variants, max_variant_len,
-                       negation_words)
+                       negation_words, first_tokens, lemma_fn)

@@ -19,6 +19,7 @@ and metrics. Realization:
 
 from __future__ import annotations
 
+import logging
 import os
 import time
 from dataclasses import dataclass
@@ -159,8 +160,19 @@ def finalize_nodes(spark: SparkSession, inputs: KgInputs,
                    F.sum("n_mentions").cast("long").alias("n_mentions")))
 
     seed_df = seed_groups_df(spark, load_synonym_seed(inputs.synonyms))
-    aliases = (spark.read.parquet(inputs.aliases)
-               if inputs.aliases and os.path.exists(inputs.aliases) else None)
+    # Existence must be checked through Spark, not os.path: the aliases path
+    # may be remote (s3://, hdfs://) where os.path.exists is always False —
+    # which would silently run CC with zero edges and leave the node table
+    # unmerged on cluster runs (ADVICE r1).
+    aliases = None
+    if inputs.aliases:
+        try:
+            aliases = spark.read.parquet(inputs.aliases)
+        except Exception as e:  # AnalysisException: PATH_NOT_FOUND
+            logging.getLogger(__name__).warning(
+                "no alias evidence at %s (%s): canonicalization runs on "
+                "seed-group identity only", inputs.aliases,
+                type(e).__name__)
     comps = connected_components(
         group_alias_edges(groups.select(F.col("group_key"),
                                         F.col("canon_value").alias("value")),

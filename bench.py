@@ -52,12 +52,33 @@ def run_query(spark, fn, sf_dir: str) -> float:
     return time.time() - t0
 
 
+def _tmpfs_local_dir() -> str | None:
+    """tmpfs shuffle dirs are the local-mode stand-in for cluster NVMe
+    shuffle volumes, but past a few GB of input the spill competes with the
+    JVM heap for the same RAM — so tmpfs is gated: BENCH_TMPFS=1 forces it,
+    =0 disables, default 'auto' uses it only for small inputs (ADVICE r1).
+    The choice is reported in the JSON output so runs stay comparable."""
+    mode = os.environ.get("BENCH_TMPFS", "auto")
+    if mode == "0" or not os.path.isdir("/dev/shm"):
+        return None
+    if mode != "1":  # auto: threshold on the input size
+        try:
+            from arekit_r335_spark.datagen import repo_data_dir
+            path = os.path.join(repo_data_dir(SF_DIR), "transcripts.parquet")
+            if os.path.getsize(path) > 2 * 1024**3:
+                return None
+        except OSError:
+            return None
+    os.makedirs("/dev/shm/spark-local", exist_ok=True)
+    return "/dev/shm/spark-local"
+
+
 def make_spark(master: str):
     from arekit_r335_spark.config import ScaleConfig
     extra = {}
-    if os.path.isdir("/dev/shm"):
-        os.makedirs("/dev/shm/spark-local", exist_ok=True)
-        extra["spark.local.dir"] = "/dev/shm/spark-local"
+    local_dir = _tmpfs_local_dir()
+    if local_dir:
+        extra["spark.local.dir"] = local_dir
     return make_spark_scaled(master, ScaleConfig(shuffle_partitions=32,
                                                  extra_conf=extra))
 
@@ -219,6 +240,8 @@ def main() -> None:
         "sf": _sf_of(SF_DIR),
         "turns": turns,
         "turns_per_sec": round(turns / flag, 1) if flag > 0 else None,
+        "protocol": {"warmup": "one sf0.001 flagship run",
+                     "shuffle_dir": "tmpfs" if _tmpfs_local_dir() else "disk"},
     }
 
     if scaling:

@@ -97,12 +97,19 @@ def test_triples_parity_type_whitelist(spark, sf0001_dir):
     assert got == want
 
 
-def test_strategy_equivalence(spark, sf0001_dir):
+@pytest.mark.parametrize("cfg", [
+    PipelineConfig(),
+    PipelineConfig(dist_in_terms_bound=10, terms_per_context=10),
+    PipelineConfig(entity_type_whitelist=("GPE", "PERSON", "ORG")),
+    PipelineConfig(register_missed_synonyms=False),
+], ids=["default", "tight-window", "whitelist", "no-register-missed"])
+def test_strategy_equivalence(spark, sf0001_dir, cfg):
     """The one-shuffle turn-local plan and the general relational self-join
     plan are alternative physical strategies for the same logical EP1 —
-    identical triples row-for-row."""
+    identical triples row-for-row, on every config the other parity tests
+    exercise (incl. the turnlocal whitelist folded into the parse closure
+    and the register_missed=False path)."""
     inputs = KgInputs.at(sf0001_dir)
-    cfg = PipelineConfig()
     a = build_triple_pipeline(spark, inputs, cfg, persist=False,
                               strategy="turnlocal").triples
     b = build_triple_pipeline(spark, inputs, cfg, persist=False,

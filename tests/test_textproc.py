@@ -91,3 +91,33 @@ def test_frame_property(words):
     text = " ".join(words)
     assert engine_terms(text, VARIANTS, MAXLEN) == \
         oracle_terms(text, VARIANTS, MAXLEN)
+
+
+def _make_strip_ing():
+    def lemma(w):
+        w = w.lower()
+        return w[:-3] if w.endswith("ing") else w
+    return lemma
+
+
+def test_lemmatizer_seam():
+    """T5 seam: a custom backend changes which surface forms hit the frame
+    lexicon; the default (lower) seam stays byte-identical to the pyref
+    transcription (covered by the parity suite)."""
+    tp.register_lemmatizer("strip_ing", _make_strip_ing)
+    fn = tp.get_lemmatizer("strip_ing")
+    terms = tp.tokenize_turn("they are Attacking the base")
+    hits = tp.scan_frames(terms, {"attack": "f_attack"}, 3,
+                          frozenset({"not"}), lemma_fn=fn)
+    assert [(t.kind, t.text) for t in hits if t.kind == tp.F] == \
+        [(tp.F, "f_attack")]
+    # default normalizer: the inflected form does not match
+    base = tp.scan_frames(terms, {"attack": "f_attack"}, 3, frozenset({"not"}))
+    assert not any(t.kind == tp.F for t in base)
+
+
+def test_lemmatizer_dotted_path_resolution():
+    """Cluster form: "module:factory" resolves by import in whichever
+    process asks (executors never see driver-side register calls)."""
+    fn = tp.get_lemmatizer("tests.test_textproc:_make_strip_ing")
+    assert fn("Running") == "runn"
