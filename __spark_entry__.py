@@ -2,11 +2,12 @@
 
 ``entry(spark)`` runs the flagship KG triple-extraction query at sf0.001;
 ``queries()`` exposes one callable per implemented operator (SURVEY.md §2 and
-the training-data-pipeline scope); ``oracle_sql()`` provides DuckDB
-equivalents (omitted only for ops whose semantics need iteration/greedy scans
-that one SQL statement can't express — the driver then records a rows-only
-check, and pytest covers exact parity against the reference-transcription
-oracle instead).
+the training-data-pipeline scope); ``oracle_sql()`` provides a DuckDB
+equivalent for EVERY registered query (round 2 closed the last rows-only
+gaps: the greedy frame scan has a closed-form window-function oracle for
+span<=2 lexicons, sample masking is an ordered string aggregation, and the
+LSH buckets recompute from the same literal hyperplanes). Pytest additionally
+covers exact parity against the reference-transcription oracle.
 """
 
 from __future__ import annotations

@@ -28,7 +28,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-UINT_SCALE = {"nolabel": 0, "pos": 1, "neg": 2}
+def _default_uint_scale() -> dict[str, int]:
+    from ..labels import THREE_CLASS
+    return THREE_CLASS.uint_map()
+
+
+UINT_SCALE = {"nolabel": 0, "pos": 1, "neg": 2}  # == THREE_CLASS.uint_map()
 
 
 def _group_expr(value_expr, seed_map_col):
@@ -36,14 +41,30 @@ def _group_expr(value_expr, seed_map_col):
                       F.concat(F.lit("u:"), value_expr))
 
 
+# the EN analog of the reference tutorial's text_b template
+# (test_tutorial_pipeline_sampling_bert.py:76, RU in the original)
+TEXT_B_TEMPLATE = "{subject} to {object} in context : << {context} >>"
+
+
 def build_samples(triples_pos: DataFrame, parsed_terms: DataFrame,
                   seed_groups: dict[str, str],
                   types_map: dict[str, str] | None = None,
-                  store_labels: bool = True) -> DataFrame:
+                  store_labels: bool = True,
+                  uint_scale: dict[str, int] | None = None,
+                  text_b_template: str | None = None) -> DataFrame:
     """triples_pos: triples carrying s_pos/t_pos (in-turn indices);
     parsed_terms: (conv_id, turn_idx, terms array) from parse(with_terms).
 
-    Returns the flat sample table with the reference's column set."""
+    Returns the flat sample table with the reference's column set.
+
+    ``text_b_template`` (QA/NLI-style second segment,
+    ``contrib/bert/input/providers/text_pair.py:30-59``): when given, adds a
+    ``text_b`` column = the template with {subject}/{object} rendered by the
+    sharp formatter (constants #S/#O) and {context} = the INNER span of the
+    turn between the two mentions inclusive, re-masked with the mapper
+    re-pointed to the span ends (``set_s_ind(0)`` / ``set_t_ind(last)``,
+    text_pair.py:47-49 — the EARLIER mention masks #S and the LATER #O by
+    index, regardless of role, exactly like the reference)."""
     kv = []
     for k, v in sorted(seed_groups.items()):
         kv += [F.lit(k), F.lit(v)]
@@ -64,19 +85,40 @@ def build_samples(triples_pos: DataFrame, parsed_terms: DataFrame,
     s_grp = _group_expr(F.col("t.s_value"), seed_map)
     t_grp = _group_expr(F.col("t.t_value"), seed_map)
 
-    def mask(term, i):
-        ent_group = _group_expr(term["text"], seed_map)
-        ent_mask = (
-            F.when(i == F.col("t.s_pos"), F.lit("#S"))
-            .when(i == F.col("t.t_pos"), F.lit("#O"))
-            .when(ent_group == s_grp, F.lit("#S"))
-            .when(ent_group == t_grp, F.lit("#O"))
-            .otherwise(F.lit("#E")))
-        return (F.when(term["kind"] == "e", ent_mask)
-                .when(term["kind"] == "f", term["aux"])
-                .otherwise(term["text"]))
+    def mask_with(s_index_col, t_index_col):
+        """T10 mapper: #S/#O by index, then by synonym group, #E otherwise;
+        tokens keep their meta value, frame terms their matched phrase."""
+        def mask(term, i):
+            ent_group = _group_expr(term["text"], seed_map)
+            ent_mask = (
+                F.when(i == s_index_col, F.lit("#S"))
+                .when(i == t_index_col, F.lit("#O"))
+                .when(ent_group == s_grp, F.lit("#S"))
+                .when(ent_group == t_grp, F.lit("#O"))
+                .otherwise(F.lit("#E")))
+            return (F.when(term["kind"] == "e", ent_mask)
+                    .when(term["kind"] == "f", term["aux"])
+                    .otherwise(term["text"]))
+        return mask
 
-    text_a = F.array_join(F.transform(terms, mask), " ")
+    text_a = F.array_join(
+        F.transform(terms, mask_with(F.col("t.s_pos"), F.col("t.t_pos"))),
+        " ")
+
+    text_b = None
+    if text_b_template is not None:
+        first = F.least(F.col("t.s_pos"), F.col("t.t_pos"))
+        last = F.greatest(F.col("t.s_pos"), F.col("t.t_pos"))
+        # slice is 1-based; inner span includes both mentions
+        inner = F.slice(terms, first + 1, last - first + 1)
+        # the mapper re-pointed to the span ends: index masks are positions
+        # WITHIN the slice (0 and last-first)
+        ctx = F.array_join(
+            F.transform(inner, mask_with(F.lit(0), last - first)), " ")
+        pre, _, post = text_b_template.partition("{context}")
+        pre = pre.format(subject="#S", object="#O")
+        post = post.format(subject="#S", object="#O")
+        text_b = F.concat(F.lit(pre), ctx, F.lit(post))
 
     ent_terms = F.filter(terms, lambda x: x["kind"] == "e")
     entity_values = F.array_join(
@@ -93,8 +135,11 @@ def build_samples(triples_pos: DataFrame, parsed_terms: DataFrame,
     entities = F.array_join(F.transform(ent_inds,
                                         lambda i: i.cast("string")), ",")
 
+    # label scaler (labels.LabelScaler) — the configurable label<->uint
+    # bijection of the reference's BaseLabelScaler; default = 3-class
+    scale = uint_scale if uint_scale is not None else _default_uint_scale()
     label_uint = F.lit(None).cast("int")
-    for lab, v in sorted(UINT_SCALE.items()):
+    for lab, v in sorted(scale.items()):
         label_uint = F.when(F.col("t.label") == lab,
                             F.lit(v)).otherwise(label_uint)
 
@@ -108,8 +153,10 @@ def build_samples(triples_pos: DataFrame, parsed_terms: DataFrame,
     ]
     if store_labels:
         cols.append(label_uint.alias("label"))
+    cols += [text_a.alias("text_a")]
+    if text_b is not None:
+        cols.append(text_b.alias("text_b"))
     cols += [
-        text_a.alias("text_a"),
         entity_values.alias("entity_values"),
         entity_types.alias("entity_types"),
         entities.alias("entities"),

@@ -569,10 +569,32 @@ _TOKEN_MAP = {
 
 def samples_noframes_sql(transcripts_path: str, synonyms_path: str,
                          seed_path: str, types_map: dict[str, str],
-                         dist_bound: int = 50, window: int = 50) -> str:
+                         dist_bound: int = 50, window: int = 50,
+                         text_b_template: str | None = None) -> str:
     """EP2 oracle (no-frames): the full sample table — #S/#O/#E masking as a
     per-sample ordered string aggregation over the term stream, entity
-    columns, uint labels, content-derived ids (operators/samples.py)."""
+    columns, uint labels, content-derived ids (operators/samples.py).
+    ``text_b_template`` adds the pair provider's second segment: the inner
+    span between the mentions, index-masked at the SPAN ends."""
+    text_b_col = ""
+    if text_b_template is not None:
+        pre, _, post = text_b_template.partition("{context}")
+        pre = _sq(pre.format(subject="#S", object="#O"))
+        post = _sq(post.format(subject="#S", object="#O"))
+        text_b_col = f"""
+  '{pre}' || string_agg(
+    CASE WHEN t.kind = 'e' THEN
+           CASE WHEN t.tidx = least(d.s_pos, d.t_pos) THEN '#S'
+                WHEN t.tidx = greatest(d.s_pos, d.t_pos) THEN '#O'
+                WHEN COALESCE('g' || CAST(s.group_id AS VARCHAR),
+                              'u:' || t.ent_value) = d.s_group THEN '#S'
+                WHEN COALESCE('g' || CAST(s.group_id AS VARCHAR),
+                              'u:' || t.ent_value) = d.t_group THEN '#O'
+                ELSE '#E' END
+         ELSE t.ttext END, ' ' ORDER BY t.tidx)
+    FILTER (WHERE t.tidx BETWEEN least(d.s_pos, d.t_pos)
+                             AND greatest(d.s_pos, d.t_pos))
+    || '{post}' AS text_b,"""
     tok_case = " ".join(
         f"WHEN tok = '{_sq(c)}' THEN '{_sq(v)}'"
         for c, v in sorted(_TOKEN_MAP.items()))
@@ -718,7 +740,7 @@ SELECT
                 WHEN COALESCE('g' || CAST(s.group_id AS VARCHAR),
                               'u:' || t.ent_value) = d.t_group THEN '#O'
                 ELSE '#E' END
-         ELSE t.ttext END, ' ' ORDER BY t.tidx) AS text_a,
+         ELSE t.ttext END, ' ' ORDER BY t.tidx) AS text_a,{text_b_col}
   string_agg(replace(t.ent_value, ',', ''), ',' ORDER BY t.tidx)
     FILTER (WHERE t.kind = 'e') AS entity_values,
   string_agg(COALESCE(ty.ent_type, ''), ',' ORDER BY t.tidx)

@@ -204,8 +204,8 @@ def _build_turnlocal(spark: SparkSession, inputs: KgInputs,
 def build_samples_pipeline(spark: SparkSession, inputs: KgInputs,
                            cfg: PipelineConfig | None = None,
                            store_labels: bool = True,
-                           frames_override: FramesLexicon | None = None
-                           ) -> DataFrame:
+                           frames_override: FramesLexicon | None = None,
+                           text_b_template: str | None = None) -> DataFrame:
     """EP2: triples -> flat ML sample rows (operators/samples.py)."""
     from .operators.samples import build_samples
 
@@ -224,4 +224,5 @@ def build_samples_pipeline(spark: SparkSession, inputs: KgInputs,
         "s_pos", "t_pos")
     return build_samples(triples_pos, parsed_full, seed_groups,
                          types_map=load_entity_types(inputs.entity_types),
-                         store_labels=store_labels)
+                         store_labels=store_labels,
+                         text_b_template=text_b_template)

@@ -220,6 +220,18 @@ def q_kg_samples(spark, sf_dir):
                                   frames_override=FramesLexicon.empty())
 
 
+def q_kg_samples_pair(spark, sf_dir):
+    """EP2 with the BERT QA/NLI pair provider: text_a PLUS text_b = the
+    re-masked inner span between the mentions in the sharp-formatted
+    template (text_pair.py:30-59)."""
+    from .operators.samples import TEXT_B_TEMPLATE
+    from .pipeline import build_samples_pipeline
+    _, inputs = _kg(spark, sf_dir)
+    return build_samples_pipeline(spark, inputs,
+                                  frames_override=FramesLexicon.empty(),
+                                  text_b_template=TEXT_B_TEMPLATE)
+
+
 # -------------------------------------------------- documents / embeddings
 
 def q_doc_token_stats(spark, sf_dir):
@@ -385,6 +397,7 @@ def registry() -> dict:
         "eval_prf_noframes": q_eval_prf_noframes,
         "kg_opinion_rollup_noframes": q_kg_opinion_rollup_noframes,
         "kg_samples": q_kg_samples,
+        "kg_samples_pair": q_kg_samples_pair,
         "doc_token_stats": q_doc_token_stats,
         "doc_quality": q_doc_quality,
         "doc_langid": q_doc_langid,
@@ -409,6 +422,7 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict:
     syn = os.path.join(data_dir, "synonyms.parquet")
     seed = os.path.join(data_dir, "seed_opinions.parquet")
     from .config import NEGATION_WORDS
+    from .operators.samples import TEXT_B_TEMPLATE
     from .oracle import duck_docs
     frames_lex = FramesLexicon.from_json(os.path.join(data_dir, "frames.json"))
     out = {
@@ -425,6 +439,10 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         "kg_samples": duck.samples_noframes_sql(
             tr, syn, seed, load_entity_types(
                 os.path.join(data_dir, "entity_types.json"))),
+        "kg_samples_pair": duck.samples_noframes_sql(
+            tr, syn, seed, load_entity_types(
+                os.path.join(data_dir, "entity_types.json")),
+            text_b_template=TEXT_B_TEMPLATE),
         "kg_doc_opinions_noframes":
             duck.doc_opinions_noframes_sql(tr, syn, seed),
         "kg_canonical_nodes": duck.canonical_nodes_sql(
