@@ -369,6 +369,95 @@ FROM deduped
 ORDER BY conv_id, s_ent_id, t_ent_id""")
 
 
+def opinion_rollup_frames_sql(transcripts_path: str, synonyms_path: str,
+                              seed_path: str, frames_lex,
+                              negation_words: tuple[str, ...]) -> str:
+    """A1 AVERAGE over the frame-labeled deduped triples (multi-class
+    inputs: pos/neg from the connotation annotator, labels from the seed,
+    nolabel elsewhere)."""
+    base = triples_frames_sql(transcripts_path, synonyms_path, seed_path,
+                              frames_lex, negation_words)
+    prefix = base.split("\nSELECT conv_id, turn_idx, s_ent_id")[0]
+    return prefix + """
+SELECT conv_id, s_group, t_group,
+       CASE WHEN SUM(CASE label WHEN 'pos' THEN 1 WHEN 'neg' THEN -1
+                     ELSE 0 END) > 0 THEN 'pos'
+            WHEN SUM(CASE label WHEN 'pos' THEN 1 WHEN 'neg' THEN -1
+                     ELSE 0 END) < 0 THEN 'neg'
+            ELSE 'nolabel' END AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_contexts
+FROM deduped
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3"""
+
+
+def eval_prf_frames_sql(transcripts_path: str, synonyms_path: str,
+                        seed_path: str, frames_lex,
+                        negation_words: tuple[str, ...]) -> str:
+    """J14+A4 oracle over the frame-labeled rollup: etalon = pos/neg rollup
+    opinions, test = deterministic md5 label flip, Extraction-mode full
+    outer comparison, per-doc per-class counts + P/R."""
+    base = triples_frames_sql(transcripts_path, synonyms_path, seed_path,
+                              frames_lex, negation_words)
+    prefix = base.split("\nSELECT conv_id, turn_idx, s_ent_id")[0]
+    return prefix + """,
+rollup AS (
+  SELECT conv_id, s_group, t_group,
+         CASE WHEN SUM(CASE label WHEN 'pos' THEN 1 WHEN 'neg' THEN -1
+                       ELSE 0 END) > 0 THEN 'pos'
+              WHEN SUM(CASE label WHEN 'pos' THEN 1 WHEN 'neg' THEN -1
+                       ELSE 0 END) < 0 THEN 'neg'
+              ELSE 'nolabel' END AS label
+  FROM deduped GROUP BY 1, 2, 3
+),
+etalon AS (
+  SELECT conv_id, s_group, t_group, label
+  FROM rollup WHERE label IN ('pos', 'neg')
+),
+test AS (
+  SELECT conv_id, s_group, t_group,
+         CASE WHEN substr(md5(conv_id || '|' || s_group || '|' || t_group),
+                          1, 1) < '4'
+              THEN CASE label WHEN 'pos' THEN 'neg'
+                              WHEN 'neg' THEN 'pos' ELSE label END
+              ELSE label END AS label
+  FROM etalon
+),
+cmp AS (
+  SELECT COALESCE(e.conv_id, t.conv_id) AS conv_id,
+         e.label AS etalon_label, t.label AS test_label,
+         COALESCE(e.label = t.label, FALSE) AS comparison
+  FROM etalon e
+  FULL OUTER JOIN test t
+    ON e.conv_id = t.conv_id AND e.s_group = t.s_group
+   AND e.t_group = t.t_group
+),
+per AS (
+  SELECT conv_id, 'pos' AS label,
+         CAST(SUM(CASE WHEN comparison AND test_label = 'pos'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN test_label = 'pos' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_test,
+         CAST(SUM(CASE WHEN etalon_label = 'pos' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_etalon
+  FROM cmp GROUP BY conv_id
+  UNION ALL
+  SELECT conv_id, 'neg',
+         CAST(SUM(CASE WHEN comparison AND test_label = 'neg'
+                       THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(SUM(CASE WHEN test_label = 'neg' THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(SUM(CASE WHEN etalon_label = 'neg' THEN 1 ELSE 0 END) AS BIGINT)
+  FROM cmp GROUP BY conv_id
+)
+SELECT conv_id, label, tp, n_test, n_etalon,
+       round(CASE WHEN n_test <> 0 THEN tp::DOUBLE / n_test
+                  WHEN n_etalon > 0 THEN 0.0 ELSE 1.0 END, 6) AS prec,
+       round(CASE WHEN n_etalon <> 0 THEN tp::DOUBLE / n_etalon
+                  WHEN n_etalon > 0 THEN 0.0 ELSE 1.0 END, 6) AS rec
+FROM per
+ORDER BY conv_id, label"""
+
+
 def doc_opinions_frames_sql(transcripts_path: str, synonyms_path: str,
                             seed_path: str, frames_lex,
                             negation_words: tuple[str, ...]) -> str:

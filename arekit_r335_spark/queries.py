@@ -197,6 +197,33 @@ def q_eval_prf_noframes(spark, sf_dir):
                       F.round("rec", 6).alias("rec"))
 
 
+def q_eval_prf(spark, sf_dir):
+    """J14 + A4 over FRAME-LABELED opinions: etalon = the pos/neg doc
+    opinions of the A1 rollup (connotation + seed labels), test = the
+    deterministic md5 flip — the Extraction-mode comparison now sees real
+    multi-class disagreements on both classes."""
+    from .operators.aggregate import AVERAGE, linkages_to_opinions
+    from .operators.evaluate import compare_opinions, per_doc_class_prf
+    _, inputs = _kg(spark, sf_dir)
+    res = build_triple_pipeline(spark, inputs, PipelineConfig(),
+                                persist=False)
+    rollup = linkages_to_opinions(res.text_opinions, AVERAGE)
+    etalon = (rollup.filter(F.col("label").isin("pos", "neg"))
+              .select("conv_id", "s_group", "t_group", "label"))
+    flip = F.substring(
+        F.md5(F.concat_ws("|", "conv_id", "s_group", "t_group")), 1, 1) < "4"
+    test = etalon.withColumn(
+        "label",
+        F.when(flip & (F.col("label") == "pos"), F.lit("neg"))
+         .when(flip & (F.col("label") == "neg"), F.lit("pos"))
+         .otherwise(F.col("label")))
+    out = per_doc_class_prf(compare_opinions(etalon, test))
+    return out.select(F.col("doc").alias("conv_id"), "label", "tp", "n_test",
+                      "n_etalon",
+                      F.round("prec", 6).alias("prec"),
+                      F.round("rec", 6).alias("rec"))
+
+
 def q_kg_opinion_rollup_noframes(spark, sf_dir):
     """A1 — AVERAGE label aggregation of mention-level triples into one
     doc-level opinion per synonym pair (sign of summed int labels)."""
@@ -205,6 +232,19 @@ def q_kg_opinion_rollup_noframes(spark, sf_dir):
     res = build_triple_pipeline(
         spark, inputs, PipelineConfig(), persist=False,
         frames_override=FramesLexicon.empty())
+    return linkages_to_opinions(res.text_opinions, AVERAGE).select(
+        "conv_id", "s_group", "t_group", "label", "n_contexts")
+
+
+def q_kg_opinion_rollup(spark, sf_dir):
+    """A1 AVERAGE over the FRAME-LABELED triples: with the connotation
+    annotator live, the rollup mixes pos/neg/nolabel contexts — the sign-of-
+    sum aggregation is exercised on real multi-class inputs (the noframes
+    variant only ever sees constant labels per pair)."""
+    from .operators.aggregate import AVERAGE, linkages_to_opinions
+    _, inputs = _kg(spark, sf_dir)
+    res = build_triple_pipeline(spark, inputs, PipelineConfig(),
+                                persist=False)
     return linkages_to_opinions(res.text_opinions, AVERAGE).select(
         "conv_id", "s_group", "t_group", "label", "n_contexts")
 
@@ -395,7 +435,9 @@ def registry() -> dict:
         "knn_ivf": q_knn_ivf,
         "knn_lsh": q_knn_lsh,
         "eval_prf_noframes": q_eval_prf_noframes,
+        "eval_prf": q_eval_prf,
         "kg_opinion_rollup_noframes": q_kg_opinion_rollup_noframes,
+        "kg_opinion_rollup": q_kg_opinion_rollup,
         "kg_samples": q_kg_samples,
         "kg_samples_pair": q_kg_samples_pair,
         "doc_token_stats": q_doc_token_stats,
@@ -450,8 +492,12 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         "knn_bruteforce": duck.knn_bruteforce_sql(),
         "knn_ivf": duck.knn_ivf_sql(),
         "eval_prf_noframes": duck.eval_prf_noframes_sql(syn, seed),
+        "eval_prf": duck.eval_prf_frames_sql(tr, syn, seed, frames_lex,
+                                             NEGATION_WORDS),
         "kg_opinion_rollup_noframes":
             duck.opinion_rollup_noframes_sql(tr, syn, seed),
+        "kg_opinion_rollup": duck.opinion_rollup_frames_sql(
+            tr, syn, seed, frames_lex, NEGATION_WORDS),
     }
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     if os.path.exists(emb_path):
