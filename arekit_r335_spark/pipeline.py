@@ -111,7 +111,10 @@ def build_triple_pipeline(spark: SparkSession,
     # (runner.py) materialize up front. At real cluster scale the same role
     # is played by writing the parse output to a conv_id-bucketed table
     # (checkpoint blocks are not replicated; lineage is cut deliberately).
-    parsed = parsed.localCheckpoint(eager=persist)
+    # SPARK_KG_PARSE_CKPT=0 disables (A/B lever for the scaling protocol).
+    import os as _os
+    if _os.environ.get("SPARK_KG_PARSE_CKPT", "1") != "0":
+        parsed = parsed.localCheckpoint(eager=persist)
     mentions = with_group_key(mentions_table(parsed), seed_df,
                               register_missed=cfg.register_missed_synonyms)
     if cfg.entity_type_whitelist is not None:
@@ -137,8 +140,11 @@ def build_triple_pipeline(spark: SparkSession,
     # J4b frame-connotation annotator (operators/connotation.py). Skipped
     # when the lexicon carries no polarities — an empty lexicon would only
     # add a dead parse branch to the plan.
+    import os as _os2
     frame_ops = (frame_doc_opinions(pairs, frames_df, frames_lex.polarity)
-                 if frames_lex.polarity else None)
+                 if frames_lex.polarity
+                 and _os2.environ.get("SPARK_KG_FRAME_ANNOT", "1") != "0"
+                 else None)
     doc_opinions = union_annotators(predefined, nolabel, frame_ops)
 
     expanded = expand_to_text_opinions(doc_opinions, mentions, cfg)
