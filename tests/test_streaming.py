@@ -61,3 +61,52 @@ def test_streaming_windowed_counts(spark, sf0001_dir, tmp_path):
     tr = spark.read.parquet(os.path.join(sf0001_dir, "transcripts.parquet"))
     assert total_stream <= tr.count()
     assert got.columns == ["window_start", "role", "n_turns"]
+
+
+def test_stateful_sessionize_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionization == the batch lag-window query
+    for every CLOSED session (the user's trailing session legitimately stays
+    open in state)."""
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+    from arekit_r335_spark.streaming.sessions import sessionize_stream
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    stream_dir = os.path.join(str(tmp_path), "ev_in")
+    out_dir = os.path.join(str(tmp_path), "ev_out")
+    ckpt = os.path.join(str(tmp_path), "ev_ckpt")
+    os.makedirs(stream_dir)
+    if os.path.isdir(src):
+        shutil.copytree(src, os.path.join(stream_dir, "part"))
+    else:
+        shutil.copy(src, os.path.join(stream_dir, "part.parquet"))
+
+    q = sessionize_stream(spark, stream_dir, out_dir, ckpt)
+    q.awaitTermination(300)
+    got = {(r.user_id, r.session_seq, r.n_events, r.first_event,
+            r.duration_sec)
+           for r in spark.read.parquet(out_dir).collect()}
+
+    ev = spark.read.parquet(src).withColumn(
+        "__es", F.col("ts").cast("timestamp").cast("long"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("__es") - F.lag("__es").over(w)
+    marked = ev.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+    sess = marked.withColumn(
+        "session_seq",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    batch = (sess.groupBy("user_id", "session_seq")
+             .agg(F.count("*").alias("n_events"),
+                  F.min("event_id").alias("first_event"),
+                  (F.max("__es") - F.min("__es")).alias("duration_sec")))
+    last = (batch.groupBy("user_id")
+            .agg(F.max("session_seq").alias("session_seq"))
+            .withColumn("__last", F.lit(True)))
+    closed = (batch.join(last, ["user_id", "session_seq"], "left_anti"))
+    want = {(r.user_id, r.session_seq, r.n_events, r.first_event,
+             r.duration_sec) for r in closed.collect()}
+    assert len(want) > 0
+    assert got == want
