@@ -984,6 +984,39 @@ QUALIFY rank <= {k}
 ORDER BY query_id, rank"""
 
 
+def dedup_embedding_sql(threshold: float = 0.95, bucket_dims: int = 4,
+                        dim: int = 64) -> str:
+    """Replica of functions/dedup.embedding_near_dup: sign buckets on the
+    leading dims, exact cosine (float multiply THEN double cast, matching
+    the engine's ``(x*y).cast('double')`` order) on same-bucket pairs.
+    Explicit left-associative sums replicate the sequential fold."""
+    bits = " + ".join(
+        f"(CASE WHEN embedding[{d + 1}] >= 0 THEN {2 ** d} ELSE 0 END)"
+        for d in range(bucket_dims))
+    dot = " + ".join(
+        f"CAST(a.embedding[{i + 1}] * c.embedding[{i + 1}] AS DOUBLE)"
+        for i in range(dim))
+    na = " + ".join(
+        f"CAST(a.embedding[{i + 1}] * a.embedding[{i + 1}] AS DOUBLE)"
+        for i in range(dim))
+    nc = " + ".join(
+        f"CAST(c.embedding[{i + 1}] * c.embedding[{i + 1}] AS DOUBLE)"
+        for i in range(dim))
+    t = int(round(threshold * 1_000_000))
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding, ({bits}) AS bucket FROM embeddings
+),
+scored AS (
+  SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+         CAST(round(({dot}) / (sqrt({na}) * sqrt({nc})) * 1000000, 0)
+              AS BIGINT) AS cos_e6
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+)
+SELECT vec_a, vec_b, cos_e6 FROM scored WHERE cos_e6 >= {t}
+ORDER BY vec_a, vec_b"""
+
+
 def eval_prf_noframes_sql(synonyms_path: str, seed_path: str) -> str:
     """J14+A4 oracle: etalon = predefined doc opinions from the seed file;
     test = deterministic md5-flip of labels; Extraction-mode full-outer

@@ -319,6 +319,17 @@ def q_dedup_simhash(spark, sf_dir):
     return simhash(_read(spark, sf_dir, "documents"))
 
 
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs: sign-bucket prefilter on the leading
+    dims prunes the self-join, exact cosine on survivors. Production default
+    threshold is 0.95; the registered query uses 0.45 because the synthetic
+    embeddings are random (max pairwise cosine ~0.51) — the value path must
+    produce rows to be a meaningful check."""
+    from .functions.dedup import embedding_near_dup
+    return embedding_near_dup(_read(spark, sf_dir, "embeddings"),
+                              threshold=0.45)
+
+
 # ------------------------------------------------------- misc relational
 
 def q_events_hourly(spark, sf_dir):
@@ -448,6 +459,7 @@ def registry() -> dict:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding": q_dedup_embedding,
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
         "orders_by_region": q_orders_by_region,
@@ -507,5 +519,6 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         n_rows = pq.ParquetFile(emb_path).metadata.num_rows
         out["knn_lsh"] = duck.knn_lsh_sql(
             lsh_table_planes(6, planes_for_corpus(n_rows)))
+        out["dedup_embedding"] = duck.dedup_embedding_sql(threshold=0.45)
     out.update(duck_docs.DOC_SQL)
     return out

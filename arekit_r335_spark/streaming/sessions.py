@@ -17,10 +17,10 @@ users, not events.
 
 from __future__ import annotations
 
-from pyspark.sql.types import (LongType, StringType, StructField, StructType)
+from pyspark.sql.types import LongType, StructField, StructType
 
 SESSION_SCHEMA = StructType([
-    StructField("user_id", StringType()),
+    StructField("user_id", LongType()),
     StructField("session_seq", LongType()),
     StructField("n_events", LongType()),
     StructField("first_event", LongType()),
@@ -51,7 +51,7 @@ def make_sessionizer(gap_sec: int = 1800):
         else:
             seq, last_es, start_es, n, first_ev = 0, None, None, 0, None
         out = []
-        user = key[0]
+        user = int(key[0])
         for es, ev in zip(es_arr, ev_arr):
             if last_es is None or es - last_es > gap_sec:
                 if n > 0:
@@ -76,7 +76,7 @@ def sessionize_stream(spark, stream_dir: str, out_dir: str,
                       checkpoint_dir: str, gap_sec: int = 1800,
                       schema: str | None = None):
     """readStream(events) -> stateful sessionization -> parquet sink."""
-    schema = schema or ("event_id long, user_id string, ts timestamp, "
+    schema = schema or ("event_id long, user_id long, ts timestamp, "
                         "value double")
     stream = spark.readStream.schema(schema).parquet(stream_dir)
     sessions = (stream.groupBy("user_id").applyInPandasWithState(

@@ -109,3 +109,12 @@ def test_fill_opinion_collection_filters_labels(spark):
     ops = linkages_to_opinions(df, FIRST_APPEARED)
     kept = fill_opinion_collection(ops, supported_labels=("pos", "neg"))
     assert [r.label for r in kept.collect()] == ["pos"]
+
+
+def test_label_distribution(spark):
+    """A9 — counts per label (labeling/stat.py analog)."""
+    from arekit_r335_spark.operators.aggregate import label_distribution
+    df = spark.createDataFrame(
+        [("pos",), ("pos",), ("neg",), ("nolabel",)], "label string")
+    got = {r.label: r.n for r in label_distribution(df).collect()}
+    assert got == {"pos": 2, "neg": 1, "nolabel": 1}
