@@ -124,11 +124,39 @@ def simhash(documents: DataFrame, bits: int = 32) -> DataFrame:
     return votes.select("doc_id", sim.cast("long").alias("simhash"))
 
 
+def dims_for_corpus(n_rows: int, target_bucket_rows: int = 256,
+                    max_dims: int = 20) -> int:
+    """Sign-bucket dimension count scaled with the corpus — the same log2
+    rule as ``similarity.planes_for_corpus``: ~log2(N / target rows) sign
+    bits keep the expected per-bucket row count (and therefore the
+    same-bucket self-join cost, quadratic per bucket) CONSTANT as N grows; a
+    fixed dim count makes every bucket ~N/2^dims rows, a candidate blowup at
+    corpus scale. Floor 3 keeps small fixtures multi-bucket; the cap bounds
+    the bucket-id expression (2^20 buckets ~ a trillion-row corpus at the
+    default target)."""
+    from .similarity import planes_for_corpus
+    return min(max_dims, planes_for_corpus(n_rows, target_bucket_rows))
+
+
 def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.95,
-                       bucket_dims: int = 4) -> DataFrame:
+                       bucket_dims: int | None = None,
+                       n_rows: int | None = None) -> DataFrame:
     """Embedding-cosine near-dup pairs. Scale path: LSH-ish sign-bucket on the
     first ``bucket_dims`` dimensions prunes the self-join (same-bucket only);
-    exact cosine on survivors. (vec_a, vec_b, cos_e6: BIGINT)."""
+    exact cosine on survivors. (vec_a, vec_b, cos_e6: BIGINT).
+
+    ``bucket_dims=None`` derives the bucket count from the corpus size
+    (``dims_for_corpus``) so per-bucket candidate sets stay bounded as N
+    grows; pass ``n_rows`` from table metadata to avoid the fallback
+    ``count()`` action. Recall note: a true near-dup pair is missed iff the
+    two vectors disagree in sign on any of the leading dims — for
+    cosine >= 0.95 pairs the per-dim disagreement probability is
+    acos(0.95)/pi ~ 0.101, so expected recall ~ (1-0.101)^dims (e.g. ~0.65
+    at 4 dims); production pipelines that need higher recall should chain
+    the multi-table SRP machinery of ``similarity.knn_lsh`` instead."""
+    if bucket_dims is None:
+        bucket_dims = dims_for_corpus(
+            n_rows if n_rows is not None else embeddings.count())
     sig = None
     for d in range(bucket_dims):
         bit = F.when(F.element_at("embedding", d + 1) >= 0,

@@ -174,15 +174,19 @@ def lsh_table_planes(n_tables: int, n_planes: int,
 
 def knn_lsh(embeddings: DataFrame, query_ids: list[int], k: int = 10,
             n_planes: int | None = None, n_tables: int = 6,
-            dim: int = 64) -> DataFrame:
+            dim: int = 64, n_rows: int | None = None) -> DataFrame:
     """Approximate top-k: multi-table sign-LSH (L independent tables of a few
     planes each — candidate recall 1-(1-p^planes)^tables), union of same-
     bucket candidates, exact cosine rerank. Schema = knn_bruteforce.
 
     ``n_planes=None`` derives the plane count from the corpus size
-    (``planes_for_corpus``) so buckets stay bounded as N grows."""
+    (``planes_for_corpus``) so buckets stay bounded as N grows. Pass
+    ``n_rows`` (e.g. from parquet/table metadata or catalog stats) to avoid
+    the fallback ``count()`` action — an extra full scan per call, doubly
+    wasteful when the input is a derived plan rather than a file read."""
     if n_planes is None:
-        n_planes = planes_for_corpus(embeddings.count())
+        n_planes = planes_for_corpus(
+            n_rows if n_rows is not None else embeddings.count())
     e = embeddings
     tables = []
     for t, planes in enumerate(lsh_table_planes(n_tables, n_planes, dim)):

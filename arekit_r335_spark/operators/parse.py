@@ -181,6 +181,54 @@ def make_parse_func(frames: FramesLexicon, cfg: PipelineConfig,
     return _parse_batches
 
 
+def _size_bytes(text: str) -> int:
+    """Parse a Spark byte-size conf string ('134217728', '128m', '4mb')."""
+    s = text.strip().lower().removesuffix("b")
+    mult = 1
+    for suffix, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
+                      ("t", 1 << 40)):
+        if s.endswith(suffix):
+            s, mult = s[:-1], m
+            break
+    return int(float(s)) * mult
+
+
+def _estimated_scan_splits(df) -> int:
+    """Estimate the file-source split count of a DataFrame scan from driver
+    metadata only (no RDD conversion, no job): Spark packs files into splits
+    of ``min(maxPartitionBytes, ...)`` charging ``openCostInBytes`` per file,
+    so splits ~ ceil((bytes + nFiles*openCost) / maxPartitionBytes). Local
+    paths are stat'ed directly; non-local/unlistable sources return a large
+    sentinel (assume the source is already parallel — a derived plan has an
+    upstream exchange, and remote tables are bucketed at real scale)."""
+    import os
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return 1 << 30
+    if not files:
+        return 1 << 30
+    spark = df.sparkSession
+    max_pb = _size_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+    open_cost = _size_bytes(
+        spark.conf.get("spark.sql.files.openCostInBytes", "4m"))
+    total = 0
+    for f in files:
+        path = f
+        if path.startswith("file:"):
+            path = path[5:]
+            while path.startswith("//"):
+                path = path[1:]
+        elif "://" in path:
+            return 1 << 30   # remote FS: no cheap stat; assume parallel
+        try:
+            total += os.path.getsize(path) + open_cost
+        except OSError:
+            return 1 << 30
+    return max(1, -(-total // max_pb))
+
+
 def parse_transcripts(transcripts, frames: FramesLexicon, cfg: PipelineConfig,
                       with_terms: bool = False,
                       groups: dict[str, str] | None = None,
@@ -197,9 +245,13 @@ def parse_transcripts(transcripts, frames: FramesLexicon, cfg: PipelineConfig,
     # input splits than cores (at real scale the Iceberg table is bucketed by
     # conv_id and this becomes a no-op repartition to the bucket count).
     # Hashing by conv_id also pre-aligns the downstream per-conv windows.
+    # The split count is ESTIMATED from file metadata (Spark's own packing
+    # formula over inputFiles + maxPartitionBytes/openCostInBytes) — never
+    # via ``df.rdd.getNumPartitions()``, which forces an RDD conversion node
+    # into the plan (round-2 verdict item 8).
     spark = transcripts.sparkSession
     parallelism = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    if transcripts.rdd.getNumPartitions() < parallelism:
+    if _estimated_scan_splits(transcripts) < parallelism:
         transcripts = transcripts.repartition(parallelism, "conv_id")
 
     narrow = transcripts.select("conv_id",

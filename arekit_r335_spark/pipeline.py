@@ -36,6 +36,16 @@ from .operators.pairs import candidate_pairs, exclude_existed
 from .operators.parse import parse_transcripts
 
 
+def _warn_nondefault_lever(name: str, value: str) -> None:
+    """A/B env levers change the SEMANTICS/plan of registered queries (e.g.
+    SPARK_KG_FRAME_ANNOT=0 drops the J4b labels and fails the hash oracles)
+    — log loudly so a recorded run can never silently carry a lever."""
+    import logging
+    logging.getLogger(__name__).warning(
+        "non-default A/B lever %s=%s — registered kg_* queries may diverge "
+        "from their oracles under this setting", name, value)
+
+
 @dataclass
 class TriplePipelineResult:
     mentions: DataFrame
@@ -97,23 +107,41 @@ def build_triple_pipeline(spark: SparkSession,
         return _build_turnlocal(spark, inputs, cfg, transcripts, persist,
                                 frames_lex, seed_syn, seed_df)
 
-    parsed = parse_transcripts(transcripts, frames_lex, cfg)
-    # Materialize the parse output ONCE. The triples DAG consumes the parse
-    # from up to 7 branches (mention windows, both pair-join sides, the
-    # frames table, both expansion sides), and AQE exchange reuse canNOT
-    # deduplicate them: per-branch column pruning makes each branch's
-    # exchange subtree non-identical, so the executed plan re-runs
-    # MapInArrow per branch (measured 7x at sf0.1, 16s -> 4-5s after this
-    # checkpoint). ``localCheckpoint`` stores the slim row form (no terms
-    # column) — unlike a ``persist``, which builds Spark's columnar cache of
-    # the nested mention arrays at 5-10x the parse cost in alloc/GC CPU.
-    # ``eager=persist`` lets callers that fan out into concurrent writes
-    # (runner.py) materialize up front. At real cluster scale the same role
-    # is played by writing the parse output to a conv_id-bucketed table
-    # (checkpoint blocks are not replicated; lineage is cut deliberately).
-    # SPARK_KG_PARSE_CKPT=0 disables (A/B lever for the scaling protocol).
     import os as _os
-    if _os.environ.get("SPARK_KG_PARSE_CKPT", "1") != "0":
+    frame_annot_live = bool(frames_lex.polarity) and _os.environ.get(
+        "SPARK_KG_FRAME_ANNOT", "1") != "0"
+
+    parsed = parse_transcripts(transcripts, frames_lex, cfg)
+    # Materialize the parse output ONCE — but only when the plan fan-out
+    # warrants it. With the frames branch + J4b annotator live, the triples
+    # DAG consumes the parse from up to 7 branches (mention windows, both
+    # pair-join sides, the frames table, both expansion sides), and AQE
+    # exchange reuse canNOT deduplicate them: per-branch column pruning makes
+    # each branch's exchange subtree non-identical, so the executed plan
+    # re-runs MapInArrow per branch (measured 7x at sf0.1, 16s -> 4-5s after
+    # this checkpoint; 102s -> 62.8s at sf1x8/local[8]). The NO-frames plan
+    # has low fan-out (mentions feed the pair self-join + expansion, all
+    # reusing one conv_id exchange) and the checkpoint write costs more than
+    # the recompute it saves (round-2 regression: kg_triples_noframes 2.68s
+    # -> 4.46s at identical semantics; gated A/B at sf0.1 confirms) — so the
+    # checkpoint is gated on the frames/J4b branch being live.
+    # ``localCheckpoint`` stores the slim row form (no terms column) — unlike
+    # a ``persist``, which builds Spark's columnar cache of the nested
+    # mention arrays at 5-10x the parse cost in alloc/GC CPU. ``eager=
+    # persist`` lets callers that fan out into concurrent writes (runner.py)
+    # materialize up front. At real cluster scale the same role is played by
+    # writing the parse output to a conv_id-bucketed table (checkpoint
+    # blocks are not replicated; lineage is cut deliberately).
+    # SPARK_KG_PARSE_CKPT overrides: 1 forces on, 0 forces off, unset/auto
+    # gates on the frames fan-out.
+    _ckpt_lever = _os.environ.get("SPARK_KG_PARSE_CKPT", "auto")
+    if _ckpt_lever not in ("auto", ""):
+        _warn_nondefault_lever("SPARK_KG_PARSE_CKPT", _ckpt_lever)
+    if _os.environ.get("SPARK_KG_FRAME_ANNOT", "1") == "0":
+        _warn_nondefault_lever("SPARK_KG_FRAME_ANNOT", "0")
+    do_ckpt = (frame_annot_live if _ckpt_lever in ("auto", "")
+               else _ckpt_lever != "0")
+    if do_ckpt:
         parsed = parsed.localCheckpoint(eager=persist)
     mentions = with_group_key(mentions_table(parsed), seed_df,
                               register_missed=cfg.register_missed_synonyms)
@@ -140,11 +168,8 @@ def build_triple_pipeline(spark: SparkSession,
     # J4b frame-connotation annotator (operators/connotation.py). Skipped
     # when the lexicon carries no polarities — an empty lexicon would only
     # add a dead parse branch to the plan.
-    import os as _os2
     frame_ops = (frame_doc_opinions(pairs, frames_df, frames_lex.polarity)
-                 if frames_lex.polarity
-                 and _os2.environ.get("SPARK_KG_FRAME_ANNOT", "1") != "0"
-                 else None)
+                 if frame_annot_live else None)
     doc_opinions = union_annotators(predefined, nolabel, frame_ops)
 
     expanded = expand_to_text_opinions(doc_opinions, mentions, cfg)

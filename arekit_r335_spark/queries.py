@@ -44,6 +44,14 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _parquet_rows(sf_dir: str, name: str) -> int:
+    """Row count from parquet footer metadata — the no-extra-job way to size
+    corpus-scaled parameters (plane/bucket counts)."""
+    import pyarrow.parquet as pq
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 # --------------------------------------------------------------- KG queries
 
 def q_kg_mentions_noframes(spark, sf_dir):
@@ -157,10 +165,13 @@ def q_knn_ivf(spark, sf_dir):
 
 def q_knn_lsh(spark, sf_dir):
     """Approximate ANN: sign-random-projection buckets + exact rerank
-    (rows-only check; recall vs brute force is asserted in pytest)."""
+    (hash-checked — the oracle recomputes from the same literal planes).
+    Corpus size comes from parquet metadata, so the plane-count derivation
+    costs no extra Spark job."""
     from .functions.similarity import knn_lsh
     emb = _read(spark, sf_dir, "embeddings")
-    return knn_lsh(emb, list(range(10)), k=10)
+    return knn_lsh(emb, list(range(10)), k=10,
+                   n_rows=_parquet_rows(sf_dir, "embeddings"))
 
 
 def _eval_pair_dfs(spark, sf_dir):
@@ -304,14 +315,27 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return lsh_candidate_pairs(_read(spark, sf_dir, "documents"))
 
 
-def q_dedup_ngram_jaccard(spark, sf_dir):
+def q_dedup_ngram_jaccard(spark, sf_dir, *, n: int = 3, threshold: float = 0.8,
+                          minhash_k: int = 8, bands: int = 4,
+                          exact: bool = False):
     """Exact n-gram Jaccard verification RESTRICTED to MinHash-LSH candidate
     pairs (the scale path: the shingle self-join only ever touches pairs that
-    share a band bucket — never the full quadratic shingle-shingle join)."""
+    share a band bucket — never the full quadratic shingle-shingle join).
+
+    Recall trade-off, explicit: with ``minhash_k=8`` hashes in ``bands=4``
+    bands of 2 rows, a true pair of Jaccard s survives the prefilter with
+    probability 1-(1-s^2)^4 — at the 0.8 threshold ~1.7% of qualifying pairs
+    are missed (and near-dup clusters can split accordingly). ``exact=True``
+    drops the prefilter and runs the full shingle equi-join — exact recall,
+    quadratic per shared shingle; viable only at small corpus scale or after
+    an upstream blocking step. The registered oracle checks the default
+    (prefiltered) semantics; both engines apply the identical prefilter."""
     from .functions.dedup import lsh_candidate_pairs, ngram_jaccard_pairs
     docs = _read(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, threshold=0.8,
-                               candidates=lsh_candidate_pairs(docs))
+    cands = (None if exact
+             else lsh_candidate_pairs(docs, n=n, k=minhash_k, bands=bands))
+    return ngram_jaccard_pairs(docs, n=n, threshold=threshold,
+                               candidates=cands)
 
 
 def q_dedup_simhash(spark, sf_dir):
@@ -321,13 +345,16 @@ def q_dedup_simhash(spark, sf_dir):
 
 def q_dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-dup pairs: sign-bucket prefilter on the leading
-    dims prunes the self-join, exact cosine on survivors. Production default
-    threshold is 0.95; the registered query uses 0.45 because the synthetic
-    embeddings are random (max pairwise cosine ~0.51) — the value path must
-    produce rows to be a meaningful check."""
+    dims prunes the self-join, exact cosine on survivors. The bucket-dim
+    count is derived from the corpus row count (``dims_for_corpus`` — same
+    log2 rule as the ANN plane sizing; parquet metadata, no extra job).
+    Production default threshold is 0.95; the registered query uses 0.45
+    because the synthetic embeddings are random (max pairwise cosine ~0.51)
+    — the value path must produce rows to be a meaningful check."""
     from .functions.dedup import embedding_near_dup
     return embedding_near_dup(_read(spark, sf_dir, "embeddings"),
-                              threshold=0.45)
+                              threshold=0.45,
+                              n_rows=_parquet_rows(sf_dir, "embeddings"))
 
 
 # ------------------------------------------------------- misc relational
@@ -513,12 +540,12 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict:
     }
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     if os.path.exists(emb_path):
-        import pyarrow.parquet as pq
-
+        from .functions.dedup import dims_for_corpus
         from .functions.similarity import lsh_table_planes, planes_for_corpus
-        n_rows = pq.ParquetFile(emb_path).metadata.num_rows
+        n_rows = _parquet_rows(sf_dir, "embeddings")
         out["knn_lsh"] = duck.knn_lsh_sql(
             lsh_table_planes(6, planes_for_corpus(n_rows)))
-        out["dedup_embedding"] = duck.dedup_embedding_sql(threshold=0.45)
+        out["dedup_embedding"] = duck.dedup_embedding_sql(
+            threshold=0.45, bucket_dims=dims_for_corpus(n_rows))
     out.update(duck_docs.DOC_SQL)
     return out

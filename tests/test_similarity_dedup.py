@@ -96,6 +96,35 @@ def test_simhash_similarity_property(spark):
     assert hamming(h[1], h[2]) < hamming(h[1], h[3])
 
 
+def test_embedding_bucket_dims_scale_with_corpus():
+    """The sign-bucket dim count must GROW with the corpus (round-2 verdict:
+    a fixed bucket count makes the same-bucket self-join quadratic per bucket
+    at scale). Same log2 rule as the ANN plane sizing."""
+    from arekit_r335_spark.functions.dedup import dims_for_corpus
+    small = dims_for_corpus(1_000)
+    large = dims_for_corpus(1_000_000)
+    huge = dims_for_corpus(1_000_000_000)
+    assert small < large < huge
+    # expected per-bucket rows stays ~constant: N / 2^dims within 2x of target
+    for n in (10_000, 10_000_000, 1_000_000_000):
+        d = dims_for_corpus(n)
+        assert n / 2 ** d <= 256 or d == 20   # capped only at the extreme
+    assert dims_for_corpus(10) == 3           # small fixtures stay multi-bucket
+
+
+def test_embedding_near_dup_derived_dims(spark):
+    """Derived-dims path (bucket_dims=None + n_rows) still finds the planted
+    near-dup pair — same prefilter family, corpus-sized."""
+    rows = [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.999, 0.01, 0.0, 0.0])]
+    rows += [(i, [0.0, 0.0, 1.0, float(i % 3)]) for i in range(3, 40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    from arekit_r335_spark.functions.dedup import embedding_near_dup
+    pairs = {(r.vec_a, r.vec_b) for r in
+             embedding_near_dup(emb, threshold=0.95,
+                                n_rows=len(rows)).collect()}
+    assert (1, 2) in pairs
+
+
 def test_embedding_near_dup(spark):
     rows = [
         (1, [1.0, 0.0, 0.0, 0.0]),
