@@ -27,14 +27,33 @@ CLASSIFICATION = "classification"
 
 def compare_opinions(etalon: DataFrame, test: DataFrame,
                      mode: str = EXTRACTION,
-                     keys: tuple[str, ...] = ("conv_id", "s_group", "t_group")
-                     ) -> DataFrame:
+                     keys: tuple[str, ...] = ("conv_id", "s_group", "t_group"),
+                     strict: bool = True) -> DataFrame:
     """J14 — comparison table: keys + etalon_label + test_label + comparison.
 
     Inputs are doc-level opinion DFs with a ``label`` column, already deduped
-    on the key (OpinionCollection invariant)."""
+    on the key (OpinionCollection invariant).
+
+    Classification mode replicates the reference's strictness
+    (``comparators/opinions.py:48-54``): a test opinion absent from the
+    etalon "could not be possible, since we perform classification of
+    already provided opinions" and raises — here a left-anti count-and-raise
+    (one driver-sized action; eval collections are per-doc small). Etalon
+    rows absent from the test side are skipped, exactly like the reference's
+    ``continue`` at ``opinions.py:31-32`` (the inner join). ``strict=False``
+    downgrades the error to the silent inner-join drop."""
     e = etalon.select(*keys, F.col("label").alias("etalon_label"))
     t = test.select(*keys, F.col("label").alias("test_label"))
+    if mode == CLASSIFICATION and strict:
+        extra = t.join(e, list(keys), "left_anti")
+        sample = extra.limit(3).collect()
+        if sample:
+            n = extra.count()
+            shown = ", ".join(str(tuple(r[k] for k in keys)) for r in sample)
+            raise ValueError(
+                f"Classification mode: {n} test opinion(s) not found in the "
+                f"etalon collection (e.g. {shown}) — the reference raises "
+                "here (comparators/opinions.py:48-54)")
     how = "full_outer" if mode == EXTRACTION else "inner"
     joined = e.join(t, list(keys), how)
     return joined.withColumn(

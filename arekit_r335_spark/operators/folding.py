@@ -28,19 +28,40 @@ def fixed_folding(assignments: list[tuple[str, str]], spark) -> DataFrame:
 
 
 def cv_folding(docs: DataFrame, n_folds: int = 3,
-               doc_col: str = "conv_id") -> DataFrame:
+               doc_col: str = "conv_id",
+               check_empty: bool = True) -> DataFrame:
     """C3 — the seeded-shuffle equal-chunk splitter
     (splitters/default.py:6-52) re-stated distributed: fold = hash-mod over
     a base-16-parsed md5 prefix. An ntile over a GLOBAL md5 order would give
     exact-equal chunk sizes but moves the whole doc set into one task to
     number it (a single-partition window — the scale-killer shape); hash-mod
     is map-only, partition-count-invariant, and equally balanced in
-    expectation, which is all the CV contract needs. Output (doc, fold)."""
+    expectation, which is all the CV contract needs. Output (doc, fold).
+
+    Unlike the reference's equal chunks, hash-mod CAN leave a fold empty on a
+    small doc set (and ``cv_fold_state`` on an empty test fold would silently
+    yield an empty test split) — ``check_empty`` runs one cheap setup-time
+    groupBy over the doc ids (CV setup is once-per-experiment; the doc-id set
+    is the same size the reference's C4 splitter collects to the driver) and
+    warns naming the empty folds. Disable for latency-critical plan building."""
     hex15 = F.substring(F.md5(F.col(doc_col).cast("string")), 1, 15)
-    return (docs.select(doc_col).distinct()
-            .select(F.col(doc_col),
-                    (F.conv(hex15, 16, 10).cast("long") % n_folds)
-                    .cast("int").alias("fold")))
+    out = (docs.select(doc_col).distinct()
+           .select(F.col(doc_col),
+                   (F.conv(hex15, 16, 10).cast("long") % n_folds)
+                   .cast("int").alias("fold")))
+    if check_empty:
+        sizes = {r.fold: r.n for r in
+                 out.groupBy("fold").agg(F.count("*").alias("n")).collect()}
+        empty = sorted(set(range(n_folds)) - set(sizes))
+        if empty:
+            import logging
+            logging.getLogger(__name__).warning(
+                "cv_folding: fold(s) %s are EMPTY for this %d-doc set "
+                "(hash-mod over %d folds) — downstream cv_fold_state would "
+                "yield an empty test split; use fewer folds or the "
+                "reference-style equal chunks for tiny corpora",
+                empty, sum(sizes.values()), n_folds)
+    return out
 
 
 def cv_fold_state(folds: DataFrame, test_fold: int) -> DataFrame:

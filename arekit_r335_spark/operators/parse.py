@@ -57,6 +57,16 @@ TERM_T = StructType([
     StructField("text", StringType()),
     StructField("aux", StringType()),   # frame terms: matched variant phrase
 ])
+# term struct when the synonym-group / entity-type lookups ride in the parse
+# closure (EP2 sample serialization): entity terms carry their group key and
+# type so the sample-masking expressions never embed lexicon literals
+# (round-2 verdict item 3 — a create_map literal per lexicon entry inside a
+# per-term transform lambda grows the Catalyst expression tree with the
+# lexicon; the closure dict is O(1) per term and ships once per executor).
+TERM_ANNOT_T = StructType(TERM_T.fields + [
+    StructField("group_key", StringType()),
+    StructField("ent_type", StringType()),
+])
 
 PARSE_SCHEMA = StructType([
     StructField("n_terms", IntegerType()),
@@ -76,6 +86,8 @@ def _out_schema(with_terms: bool, annotate: bool = False) -> StructType:
     fields = list(base.fields)
     if annotate:
         fields[1] = StructField("mentions", ArrayType(MENTION_ANNOT_T))
+        if with_terms:
+            fields[3] = StructField("terms", ArrayType(TERM_ANNOT_T))
     return StructType(_KEY_FIELDS + fields)
 
 
@@ -123,6 +135,8 @@ def make_parse_func(frames: FramesLexicon, cfg: PipelineConfig,
             t_kind: list[str] = []
             t_text: list[str] = []
             t_aux: list[str] = []
+            t_grp: list[str | None] = []
+            t_typ: list[str | None] = []
             for text in texts:
                 terms = tp.parse_turn(text if isinstance(text, str) else "",
                                       variants, max_len, neg,
@@ -151,6 +165,17 @@ def make_parse_func(frames: FramesLexicon, cfg: PipelineConfig,
                         t_kind.append(t.kind)
                         t_text.append(t.text)
                         t_aux.append(t.aux)
+                        if annotate:
+                            if t.kind == E:
+                                sid = t.text.strip()
+                                g = groups.get(sid)
+                                if g is None and register:
+                                    g = "u:" + sid
+                                t_grp.append(g)
+                                t_typ.append(types.get(t.text))
+                            else:
+                                t_grp.append(None)
+                                t_typ.append(None)
                     t_off.append(len(t_kind))
             m_children = [pa.array(m_pos, pa.int32()),
                           pa.array(m_val, pa.string())]
@@ -170,11 +195,16 @@ def make_parse_func(frames: FramesLexicon, cfg: PipelineConfig,
             names = ["conv_id", "turn_idx", "role", "n_terms", "mentions",
                      "frames"]
             if with_terms:
+                t_children = [pa.array(t_kind, pa.string()),
+                              pa.array(t_text, pa.string()),
+                              pa.array(t_aux, pa.string())]
+                t_names = ["kind", "text", "aux"]
+                if annotate:
+                    t_children += [pa.array(t_grp, pa.string()),
+                                   pa.array(t_typ, pa.string())]
+                    t_names += ["group_key", "ent_type"]
                 cols.append(_list_array(t_off, pa.StructArray.from_arrays(
-                    [pa.array(t_kind, pa.string()),
-                     pa.array(t_text, pa.string()),
-                     pa.array(t_aux, pa.string())],
-                    names=["kind", "text", "aux"])))
+                    t_children, names=t_names)))
                 names.append("terms")
             yield pa.RecordBatch.from_arrays(cols, names=names)
 

@@ -21,6 +21,16 @@ masking; the reference's two-pass idle/count storage protocol is dropped
 (SURVEY.md §4: columnar writers need no preallocation). The reference's
 sequential sample ids (``row_ids/base.py:27-39``) become content-derived
 ``o{conv}_{s}_{t}_i0`` keys (partition-count-invariant; SURVEY §7).
+
+Lexicon lookups ride in the PARSE CLOSURE, not in expressions: entity terms
+arrive already annotated with ``group_key``/``ent_type``
+(``parse.make_parse_func`` with groups/types — the same inlined J7a/J12
+lookups the turn-local pipeline uses), and the triple rows carry their
+``s_group``/``t_group``. The earlier formulation embedded the full synonym
+and type lexicons as ``create_map`` literals inside the per-term ``transform``
+lambdas — the Catalyst expression tree grew with the lexicon (the same
+expression-blowup class measured 10x on shingles); a production synonym
+dictionary (MBs) never belongs in the plan.
 """
 
 from __future__ import annotations
@@ -36,9 +46,10 @@ def _default_uint_scale() -> dict[str, int]:
 UINT_SCALE = {"nolabel": 0, "pos": 1, "neg": 2}  # == THREE_CLASS.uint_map()
 
 
-def _group_expr(value_expr, seed_map_col):
-    return F.coalesce(F.element_at(seed_map_col, value_expr),
-                      F.concat(F.lit("u:"), value_expr))
+def _term_group(term):
+    """Group key of an entity term: the closure-annotated seed hit, or the
+    open-world ``u:<value>`` key (J7 register-missed semantics)."""
+    return F.coalesce(term["group_key"], F.concat(F.lit("u:"), term["text"]))
 
 
 # the EN analog of the reference tutorial's text_b template
@@ -47,13 +58,13 @@ TEXT_B_TEMPLATE = "{subject} to {object} in context : << {context} >>"
 
 
 def build_samples(triples_pos: DataFrame, parsed_terms: DataFrame,
-                  seed_groups: dict[str, str],
-                  types_map: dict[str, str] | None = None,
                   store_labels: bool = True,
                   uint_scale: dict[str, int] | None = None,
                   text_b_template: str | None = None) -> DataFrame:
-    """triples_pos: triples carrying s_pos/t_pos (in-turn indices);
-    parsed_terms: (conv_id, turn_idx, terms array) from parse(with_terms).
+    """triples_pos: triples carrying s_pos/t_pos (in-turn indices) and
+    s_group/t_group; parsed_terms: (conv_id, turn_idx, terms array) from
+    ``parse_transcripts(with_terms=True, groups=..., types=...)`` — entity
+    terms must carry the annotated ``group_key``/``ent_type`` fields.
 
     Returns the flat sample table with the reference's column set.
 
@@ -65,31 +76,20 @@ def build_samples(triples_pos: DataFrame, parsed_terms: DataFrame,
     re-pointed to the span ends (``set_s_ind(0)`` / ``set_t_ind(last)``,
     text_pair.py:47-49 — the EARLIER mention masks #S and the LATER #O by
     index, regardless of role, exactly like the reference)."""
-    kv = []
-    for k, v in sorted(seed_groups.items()):
-        kv += [F.lit(k), F.lit(v)]
-    seed_map = F.create_map(*kv) if kv else F.create_map().cast(
-        "map<string,string>")
-    tv = []
-    for k, v in sorted((types_map or {}).items()):
-        tv += [F.lit(k), F.lit(v)]
-    types_col = F.create_map(*tv) if tv else F.create_map().cast(
-        "map<string,string>")
-
     t = triples_pos.alias("t")
     p = parsed_terms.select("conv_id", "turn_idx", "terms").alias("p")
     j = t.join(p, (F.col("t.conv_id") == F.col("p.conv_id"))
                & (F.col("t.turn_idx") == F.col("p.turn_idx")))
 
     terms = F.col("p.terms")
-    s_grp = _group_expr(F.col("t.s_value"), seed_map)
-    t_grp = _group_expr(F.col("t.t_value"), seed_map)
+    s_grp = F.col("t.s_group")
+    t_grp = F.col("t.t_group")
 
     def mask_with(s_index_col, t_index_col):
         """T10 mapper: #S/#O by index, then by synonym group, #E otherwise;
         tokens keep their meta value, frame terms their matched phrase."""
         def mask(term, i):
-            ent_group = _group_expr(term["text"], seed_map)
+            ent_group = _term_group(term)
             ent_mask = (
                 F.when(i == s_index_col, F.lit("#S"))
                 .when(i == t_index_col, F.lit("#O"))
@@ -126,8 +126,7 @@ def build_samples(triples_pos: DataFrame, parsed_terms: DataFrame,
                     lambda x: F.regexp_replace(x["text"], ",", "")), ",")
     entity_types = F.array_join(
         F.transform(ent_terms,
-                    lambda x: F.coalesce(F.element_at(types_col, x["text"]),
-                                         F.lit(""))), ",")
+                    lambda x: F.coalesce(x["ent_type"], F.lit(""))), ",")
     # in-sentence indices of entity terms
     idx = F.sequence(F.lit(0), F.size(terms) - 1)
     ent_inds = F.filter(idx, lambda i: F.element_at(terms, i + 1)["kind"]

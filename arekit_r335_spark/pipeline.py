@@ -245,15 +245,21 @@ def build_samples_pipeline(spark: SparkSession, inputs: KgInputs,
                                 frames_override=frames_override)
     frames_lex = (frames_override if frames_override is not None
                   else FramesLexicon.from_json(inputs.frames))
-    parsed_full = parse_transcripts(spark.read.parquet(inputs.transcripts),
-                                    frames_lex, cfg, with_terms=True)
+    # synonym-group / entity-type lookups ride in the parse closure (the
+    # turn-local pipeline's inlined J7a/J12 path) so the sample-masking
+    # expressions carry NO lexicon literals — see operators/samples.py.
     seed = load_synonym_seed(inputs.synonyms)
-    seed_groups = {r.sid: f"g{int(r.group_id)}" for r in seed.itertuples()}
+    seed_groups = {str(r.sid): f"g{int(r.group_id)}"
+                   for r in seed.itertuples()}
+    parsed_full = parse_transcripts(spark.read.parquet(inputs.transcripts),
+                                    frames_lex, cfg, with_terms=True,
+                                    groups=seed_groups,
+                                    types=load_entity_types(
+                                        inputs.entity_types))
     triples_pos = res.text_opinions.select(
         "conv_id", F.col("s_turn").alias("turn_idx"),
-        "s_ent_id", "t_ent_id", "s_value", "t_value", "label",
+        "s_ent_id", "t_ent_id", "s_group", "t_group", "label",
         "s_pos", "t_pos")
-    return build_samples(triples_pos, parsed_full, seed_groups,
-                         types_map=load_entity_types(inputs.entity_types),
+    return build_samples(triples_pos, parsed_full,
                          store_labels=store_labels,
                          text_b_template=text_b_template)

@@ -70,9 +70,14 @@ def run_bucket(spark: SparkSession, inputs: KgInputs, cfg: PipelineConfig,
                sink: GraphSink, bucket: int, num_buckets: int) -> dict:
     """Process one conv_id bucket end-to-end; idempotent."""
     t0 = time.time()
+    # n_turns rides as an Observation on the scan (no dedicated count job:
+    # the value is captured by whichever action first materializes the parse
+    # — the eager checkpoint, or the edges write when checkpointing is off)
+    tobs = Observation(f"turns_b{bucket}")
     transcripts = (spark.read.parquet(inputs.transcripts)
                    .filter(bucket_of(F.col("conv_id"), num_buckets)
-                           == bucket))
+                           == bucket)
+                   .observe(tobs, F.count(F.lit(1)).alias("n_turns")))
     res = build_triple_pipeline(spark, inputs, cfg, transcripts=transcripts,
                                 persist=True)
 
@@ -89,7 +94,12 @@ def run_bucket(spark: SparkSession, inputs: KgInputs, cfg: PipelineConfig,
     # (the cross-bucket canonical merge happens once in finalize_nodes —
     # partials keep the per-bucket unit idempotent and restart-safe)
     nobs = Observation(f"nodes_b{bucket}")
+    # n_mentions rides on the partial write's scan of the mention table —
+    # together with n_turns above this removes the round-2 runner's two
+    # dedicated per-bucket count() jobs (one job per write, as S12 intends)
+    mobs = Observation(f"mentions_b{bucket}")
     partial = (res.mentions
+               .observe(mobs, F.count(F.lit(1)).alias("n_mentions"))
                .groupBy("group_key")
                .agg(F.min("value").alias("canon_value"),
                     F.count("*").cast("long").alias("n_mentions"))
@@ -98,9 +108,8 @@ def run_bucket(spark: SparkSession, inputs: KgInputs, cfg: PipelineConfig,
     (partial.write.mode("overwrite").partitionBy("bucket")
      .parquet(sink.nodes_partial))
 
-    n_mentions = res.mentions.count()
-    n_turns = transcripts.count()
-    res.mentions.unpersist()
+    n_mentions = int(mobs.get["n_mentions"])
+    n_turns = int(tobs.get["n_turns"])
 
     metrics = {
         "bucket": bucket,

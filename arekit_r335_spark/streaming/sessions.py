@@ -3,12 +3,26 @@
 the batch ``events_sessionize`` query).
 
 Semantics match the batch lag-window formulation exactly for CLOSED
-sessions: a session closes when a later event of the same user arrives more
-than ``gap_sec`` after the previous one; the closing batch emits
-``(user_id, session_seq, n_events, first_event, duration_sec)`` with the
-same values the batch query produces. The user's trailing session stays in
-state (a stream cannot know it ended — flush policy is a deployment choice:
-event-time timeout or end-of-stream drain).
+sessions **under in-order cross-batch arrival** (each user's events reach
+later micro-batches with event times >= their previous batch's maximum —
+true for replayed/partition-ordered sources like Kafka-per-user-key or the
+availableNow file replay the tests use): a session closes when a later
+event of the same user arrives more than ``gap_sec`` after the previous
+one; the closing batch emits ``(user_id, session_seq, n_events,
+first_event, duration_sec)`` with the same values the batch query produces.
+The user's trailing session stays in state (a stream cannot know it ended —
+flush policy is a deployment choice: event-time timeout or end-of-stream
+drain).
+
+Cross-batch LATE data (an event older than the user's state high-water
+mark) degrades predictably rather than corrupting state: the event merges
+into the open session (never reopens a closed one) and the high-water mark
+is clamped monotone (``last_es = max(last_es, es)``), so a late straggler
+can neither move the gap reference backwards (spuriously splitting the next
+in-order event into a new session) nor produce a negative duration.
+Exact-late-data semantics would need event-time timeouts + a watermark
+(hold each session open until ``watermark > last_es + gap``) — the
+documented trade is bounded state and per-batch emission instead.
 
 State per user: (session_seq, last_es, start_es, n_events, first_event) —
 a few longs; the state store is keyed by user_id, so cardinality = active
@@ -62,7 +76,10 @@ def make_sessionizer(gap_sec: int = 1800):
                 first_ev = ev
             n += 1
             first_ev = min(first_ev, ev)
-            last_es = es
+            # monotone high-water mark: a cross-batch late event (es <
+            # last_es) merges into the open session but must not drag the
+            # gap reference backwards or yield negative durations
+            last_es = es if last_es is None else max(last_es, es)
         state.update((seq, last_es, start_es, n, first_ev))
         if out:
             yield pd.DataFrame(

@@ -81,6 +81,22 @@ def test_classification_mode_inner_join(spark):
     assert rows[0]["comparison"] is False
 
 
+def test_classification_mode_raises_on_extra_test_rows(spark):
+    """Reference strictness (comparators/opinions.py:48-54): a test opinion
+    absent from the etalon is an error in Classification mode — classifying
+    an opinion that was never provided 'could not be possible'."""
+    etalon = [("d1", "g1", "g2", "pos")]
+    test = [("d1", "g1", "g2", "pos"),
+            ("d1", "g9", "g8", "neg")]   # never in the etalon
+    with pytest.raises(ValueError, match="not found in the etalon"):
+        compare_opinions(_ops(spark, etalon), _ops(spark, test),
+                         CLASSIFICATION)
+    # non-strict downgrade: silent inner-join drop
+    cmp = compare_opinions(_ops(spark, etalon), _ops(spark, test),
+                           CLASSIFICATION, strict=False)
+    assert cmp.count() == 1
+
+
 TRIPLES_SCHEMA = ("conv_id string, s_group string, t_group string, "
                   "label string, priority int, s_ent_id long, t_ent_id long")
 

@@ -110,3 +110,54 @@ def test_stateful_sessionize_matches_batch(spark, tmp_path):
              r.duration_sec) for r in closed.collect()}
     assert len(want) > 0
     assert got == want
+
+
+def test_sessionizer_late_data_degrades_predictably():
+    """Cross-batch LATE events (older than the state high-water mark) merge
+    into the open session, never drag the gap reference backwards, and never
+    yield negative durations (sessions.py late-data clamp)."""
+    import pandas as pd
+    from arekit_r335_spark.streaming.sessions import make_sessionizer
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    def batch(rows):
+        return [pd.DataFrame(rows, columns=["event_id", "user_id", "ts",
+                                            "value"])
+                .astype({"ts": "datetime64[ns]"})]
+
+    fn = make_sessionizer(gap_sec=1800)
+    state = FakeState()
+    ts = pd.Timestamp("2024-01-01 10:00:00")
+    s = pd.Timedelta(seconds=1)
+
+    # batch 1: two events 10s apart -> one open session, last_es at +10s
+    out1 = list(fn((7,), batch([(1, 7, ts, 0.0), (2, 7, ts + 10 * s, 0.0)]),
+                   state))
+    assert out1 == []
+    seq, last_es, start_es, n, first_ev = state.get
+    hwm = last_es
+
+    # batch 2: one LATE event (5s before the high-water mark)
+    list(fn((7,), batch([(3, 7, ts + 5 * s, 0.0)]), state))
+    seq2, last_es2, start_es2, n2, _ = state.get
+    assert last_es2 == hwm          # clamped: never moves backwards
+    assert seq2 == seq and n2 == n + 1   # merged into the open session
+
+    # batch 3: in-order event just over the gap from the TRUE high-water
+    # mark -> closes the session with a non-negative duration
+    out3 = list(fn((7,), batch([(4, 7, ts + 1811 * s, 0.0)]), state))
+    assert len(out3) == 1
+    closed = out3[0].iloc[0]
+    assert closed["n_events"] == 3 and closed["duration_sec"] == 10
