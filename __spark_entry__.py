@@ -3,11 +3,11 @@
 ``entry(spark)`` runs the flagship KG triple-extraction query at sf0.001;
 ``queries()`` exposes one callable per implemented operator (SURVEY.md §2 and
 the training-data-pipeline scope); ``oracle_sql()`` provides a DuckDB
-equivalent for EVERY registered query (round 2 closed the last rows-only
-gaps: the greedy frame scan has a closed-form window-function oracle for
-span<=2 lexicons, sample masking is an ordered string aggregation, and the
-LSH buckets recompute from the same literal hyperplanes). Pytest additionally
-covers exact parity against the reference-transcription oracle.
+equivalent for EVERY registered query (the greedy frame scan is oracled for
+arbitrary variant span via a recursive-CTE walk over candidate positions,
+sample masking is an ordered string aggregation, and the LSH buckets
+recompute from the same literal hyperplanes). Pytest additionally covers
+exact parity against the reference-transcription oracle.
 """
 
 from __future__ import annotations

@@ -30,7 +30,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 SEED = 42
-DATA_VERSION = 4  # bump when generated fixture contents change
+DATA_VERSION = 5  # bump when generated fixture contents change
 
 # ---------------------------------------------------------------- vocabularies
 
@@ -71,16 +71,18 @@ ENTITY_TYPES = {
     12: "FRAMEWORK", 13: "FRAMEWORK", 14: "FRAMEWORK",
 }
 
-# Frame lexicon: 1- and 2-word variants are matchable; the single 3-word
-# variant sets max_variant_len=3 and (by the reference's scan quirk,
+# Frame lexicon: 1-, 2- and 3-word variants are matchable; the single 4-word
+# variant sets max_variant_len=4 and (by the reference's scan quirk,
 # ``items/text/frames.py:56-60``: ctx sizes range over max-1..1) is itself
-# never matched — replicated deliberately.
+# never matched — replicated deliberately. The 3-word variants ("strike hard
+# against", "push back against") exercise the greedy longest-match scan past
+# span 2 in BOTH engines (the DuckDB oracle walks them via a recursive CTE).
 FRAMES: dict[str, dict] = {
-    "f_attack":  {"variants": ["attack", "attacks", "strike against"], "polarity": "neg", "prob": 1.0},
+    "f_attack":  {"variants": ["attack", "attacks", "strike hard against"], "polarity": "neg", "prob": 1.0},
     "f_support": {"variants": ["support", "supports", "stand with"], "polarity": "pos", "prob": 1.0},
     "f_blame":   {"variants": ["blame", "blames", "point finger"], "polarity": "neg", "prob": 0.9},
     "f_praise":  {"variants": ["praise", "praises"], "polarity": "pos", "prob": 0.9},
-    "f_threat":  {"variants": ["threaten", "threatens"], "polarity": "neg", "prob": 1.0},
+    "f_threat":  {"variants": ["threaten", "threatens", "hold a grudge against"], "polarity": "neg", "prob": 1.0},
     "f_agree":   {"variants": ["agree with", "agrees with"], "polarity": "pos", "prob": 0.8},
     "f_oppose":  {"variants": ["oppose", "opposes", "push back against"], "polarity": "neg", "prob": 0.8},
 }

@@ -67,6 +67,14 @@ TERM_ANNOT_T = StructType(TERM_T.fields + [
     StructField("group_key", StringType()),
     StructField("ent_type", StringType()),
 ])
+# with a value-dependent entity formatter (the RU cased formatter,
+# operators/formatters.py): entity terms additionally carry the two
+# declension suffixes their masks can ever need — value-dependent mask
+# content stays in the closure, never as per-value literals in the plan
+TERM_CASED_T = StructType(TERM_ANNOT_T.fields + [
+    StructField("osuf", StringType()),
+    StructField("esuf", StringType()),
+])
 
 PARSE_SCHEMA = StructType([
     StructField("n_terms", IntegerType()),
@@ -81,13 +89,15 @@ _KEY_FIELDS = [StructField("conv_id", StringType()),
                StructField("role", StringType())]
 
 
-def _out_schema(with_terms: bool, annotate: bool = False) -> StructType:
+def _out_schema(with_terms: bool, annotate: bool = False,
+                cased: bool = False) -> StructType:
     base = PARSE_SCHEMA_FULL if with_terms else PARSE_SCHEMA
     fields = list(base.fields)
     if annotate:
         fields[1] = StructField("mentions", ArrayType(MENTION_ANNOT_T))
         if with_terms:
-            fields[3] = StructField("terms", ArrayType(TERM_ANNOT_T))
+            fields[3] = StructField(
+                "terms", ArrayType(TERM_CASED_T if cased else TERM_ANNOT_T))
     return StructType(_KEY_FIELDS + fields)
 
 
@@ -98,7 +108,8 @@ def _list_array(offsets: list[int], struct: pa.StructArray) -> pa.ListArray:
 def make_parse_func(frames: FramesLexicon, cfg: PipelineConfig,
                     with_terms: bool = False,
                     groups: dict[str, str] | None = None,
-                    types: dict[str, str] | None = None):
+                    types: dict[str, str] | None = None,
+                    pos_tagger: str | None = None):
     """Build the mapInArrow parse function. Lexicons are captured in the
     closure and shipped once per executor with the serialized task (they are
     KB-sized; for MB-sized lexicons switch to ``SparkContext.broadcast``).
@@ -106,7 +117,14 @@ def make_parse_func(frames: FramesLexicon, cfg: PipelineConfig,
     With ``groups`` (sid -> group key), mention structs additionally carry
     ``group_key`` (seed hit or open-world ``u:<sid>``) and ``ent_type``
     (from ``types``, NULL when unknown) — the turn-local pipeline's inlined
-    J7a/J12 lookups."""
+    J7a/J12 lookups.
+
+    ``pos_tagger`` (a dotted ``"module:factory"`` path or the name
+    ``"default"``; requires groups + with_terms) additionally annotates
+    entity terms with the RU cased formatter's declension suffixes
+    (``formatters.cased_suffixes``) — resolved lazily PER EXECUTOR like the
+    lemmatizer seam, so Mystem-style external-process taggers never enter
+    the task closure."""
     variants = dict(frames.variants)
     max_len = frames.max_variant_len
     first_tokens = tp.first_token_index(variants)
@@ -117,6 +135,8 @@ def make_parse_func(frames: FramesLexicon, cfg: PipelineConfig,
     types = types or {}
     E, FR = tp.E, tp.F
 
+    cased = pos_tagger is not None and with_terms and annotate
+
     def _parse_batches(batches: Iterator[pa.RecordBatch]
                        ) -> Iterator[pa.RecordBatch]:
         # lemmatizer resolved lazily PER EXECUTOR (the closure ships only
@@ -124,6 +144,17 @@ def make_parse_func(frames: FramesLexicon, cfg: PipelineConfig,
         # "lower" keeps the inline fast path inside scan_frames
         lemma_fn = (None if lemmatizer_name == "lower"
                     else tp.get_lemmatizer(lemmatizer_name))
+        suffix_fn = None
+        if cased:
+            from ..operators.formatters import (cased_suffixes,
+                                                default_pos_tagger)
+            if pos_tagger == "default":
+                tagger = default_pos_tagger
+            else:
+                import importlib
+                mod, attr = pos_tagger.split(":", 1)
+                tagger = getattr(importlib.import_module(mod), attr)()
+            suffix_fn = lambda v: cased_suffixes(v, tagger)  # noqa: E731
         for b in batches:
             texts = b.column(3).to_pylist()
             n_terms: list[int] = []
@@ -137,6 +168,8 @@ def make_parse_func(frames: FramesLexicon, cfg: PipelineConfig,
             t_aux: list[str] = []
             t_grp: list[str | None] = []
             t_typ: list[str | None] = []
+            t_osuf: list[str | None] = []
+            t_esuf: list[str | None] = []
             for text in texts:
                 terms = tp.parse_turn(text if isinstance(text, str) else "",
                                       variants, max_len, neg,
@@ -173,9 +206,16 @@ def make_parse_func(frames: FramesLexicon, cfg: PipelineConfig,
                                     g = "u:" + sid
                                 t_grp.append(g)
                                 t_typ.append(types.get(t.text))
+                                if suffix_fn is not None:
+                                    osuf, esuf = suffix_fn(t.text)
+                                    t_osuf.append(osuf)
+                                    t_esuf.append(esuf)
                             else:
                                 t_grp.append(None)
                                 t_typ.append(None)
+                                if suffix_fn is not None:
+                                    t_osuf.append(None)
+                                    t_esuf.append(None)
                     t_off.append(len(t_kind))
             m_children = [pa.array(m_pos, pa.int32()),
                           pa.array(m_val, pa.string())]
@@ -203,6 +243,10 @@ def make_parse_func(frames: FramesLexicon, cfg: PipelineConfig,
                     t_children += [pa.array(t_grp, pa.string()),
                                    pa.array(t_typ, pa.string())]
                     t_names += ["group_key", "ent_type"]
+                    if cased:
+                        t_children += [pa.array(t_osuf, pa.string()),
+                                       pa.array(t_esuf, pa.string())]
+                        t_names += ["osuf", "esuf"]
                 cols.append(_list_array(t_off, pa.StructArray.from_arrays(
                     t_children, names=t_names)))
                 names.append("terms")
@@ -262,14 +306,16 @@ def _estimated_scan_splits(df) -> int:
 def parse_transcripts(transcripts, frames: FramesLexicon, cfg: PipelineConfig,
                       with_terms: bool = False,
                       groups: dict[str, str] | None = None,
-                      types: dict[str, str] | None = None):
+                      types: dict[str, str] | None = None,
+                      pos_tagger: str | None = None):
     """transcripts(conv_id, turn_idx, role, text, ...) ->
     parsed(conv_id, turn_idx, role, n_terms, mentions, frames[, terms]).
 
     Column-pruned projection: only (conv_id, turn_idx, role, text) are read
     from the scan; Catalyst pushes this into the parquet reader.
     """
-    fn = make_parse_func(frames, cfg, with_terms, groups=groups, types=types)
+    fn = make_parse_func(frames, cfg, with_terms, groups=groups, types=types,
+                         pos_tagger=pos_tagger)
 
     # Distribute the parse stage: a compact parquet scan can yield far fewer
     # input splits than cores (at real scale the Iceberg table is bucketed by
@@ -287,5 +333,7 @@ def parse_transcripts(transcripts, frames: FramesLexicon, cfg: PipelineConfig,
     narrow = transcripts.select("conv_id",
                                 F.col("turn_idx").cast("int").alias("turn_idx"),
                                 "role", "text")
-    return narrow.mapInArrow(fn, _out_schema(with_terms,
-                                             annotate=groups is not None))
+    return narrow.mapInArrow(
+        fn, _out_schema(with_terms, annotate=groups is not None,
+                        cased=(pos_tagger is not None and with_terms
+                               and groups is not None)))

@@ -60,7 +60,8 @@ TEXT_B_TEMPLATE = "{subject} to {object} in context : << {context} >>"
 def build_samples(triples_pos: DataFrame, parsed_terms: DataFrame,
                   store_labels: bool = True,
                   uint_scale: dict[str, int] | None = None,
-                  text_b_template: str | None = None) -> DataFrame:
+                  text_b_template: str | None = None,
+                  entity_fmt: str = "sharp") -> DataFrame:
     """triples_pos: triples carrying s_pos/t_pos (in-turn indices) and
     s_group/t_group; parsed_terms: (conv_id, turn_idx, terms array) from
     ``parse_transcripts(with_terms=True, groups=..., types=...)`` — entity
@@ -75,7 +76,27 @@ def build_samples(triples_pos: DataFrame, parsed_terms: DataFrame,
     turn between the two mentions inclusive, re-masked with the mapper
     re-pointed to the span ends (``set_s_ind(0)`` / ``set_t_ind(last)``,
     text_pair.py:47-49 — the EARLIER mention masks #S and the LATER #O by
-    index, regardless of role, exactly like the reference)."""
+    index, regardless of role, exactly like the reference).
+
+    ``entity_fmt`` selects the T9 formatter (operators/formatters.py):
+    'sharp' (#S/#O/#E, the default), 'simple', 'uppercase', 'ru_nocased' —
+    constant masks, three literals in the plan — or 'ru_cased', whose
+    declension suffixes must already ride the terms (parse with
+    ``pos_tagger=...``): mask = template || term.osuf/esuf, still zero
+    per-value literals."""
+    from .formatters import FORMATTERS
+
+    if entity_fmt == "ru_cased":
+        def masks_of(term):
+            return (F.concat(F.lit("субъект"), term["osuf"]),
+                    F.concat(F.lit("объект"), term["osuf"]),
+                    F.concat(F.lit("сущност"), term["esuf"]))
+    else:
+        mk = FORMATTERS[entity_fmt]
+
+        def masks_of(term):
+            return (F.lit(mk.subject), F.lit(mk.object), F.lit(mk.other))
+
     t = triples_pos.alias("t")
     p = parsed_terms.select("conv_id", "turn_idx", "terms").alias("p")
     j = t.join(p, (F.col("t.conv_id") == F.col("p.conv_id"))
@@ -86,16 +107,18 @@ def build_samples(triples_pos: DataFrame, parsed_terms: DataFrame,
     t_grp = F.col("t.t_group")
 
     def mask_with(s_index_col, t_index_col):
-        """T10 mapper: #S/#O by index, then by synonym group, #E otherwise;
-        tokens keep their meta value, frame terms their matched phrase."""
+        """T10 mapper: subject/object mask by index, then by synonym group,
+        the 'other' mask otherwise; tokens keep their meta value, frame
+        terms their matched phrase."""
         def mask(term, i):
+            subj_mask, obj_mask, other_mask = masks_of(term)
             ent_group = _term_group(term)
             ent_mask = (
-                F.when(i == s_index_col, F.lit("#S"))
-                .when(i == t_index_col, F.lit("#O"))
-                .when(ent_group == s_grp, F.lit("#S"))
-                .when(ent_group == t_grp, F.lit("#O"))
-                .otherwise(F.lit("#E")))
+                F.when(i == s_index_col, subj_mask)
+                .when(i == t_index_col, obj_mask)
+                .when(ent_group == s_grp, subj_mask)
+                .when(ent_group == t_grp, obj_mask)
+                .otherwise(other_mask))
             return (F.when(term["kind"] == "e", ent_mask)
                     .when(term["kind"] == "f", term["aux"])
                     .otherwise(term["text"]))
@@ -115,9 +138,17 @@ def build_samples(triples_pos: DataFrame, parsed_terms: DataFrame,
         # WITHIN the slice (0 and last-first)
         ctx = F.array_join(
             F.transform(inner, mask_with(F.lit(0), last - first)), " ")
+        # template placeholders render the role masks (text_pair.py:38-44);
+        # for the cased formatter the placeholder is value-independent, so
+        # the bare (UNKN-case) template is used
+        if entity_fmt == "ru_cased":
+            subj_ph, obj_ph = "субъект", "объект"
+        else:
+            subj_ph, obj_ph = FORMATTERS[entity_fmt].subject, \
+                FORMATTERS[entity_fmt].object
         pre, _, post = text_b_template.partition("{context}")
-        pre = pre.format(subject="#S", object="#O")
-        post = post.format(subject="#S", object="#O")
+        pre = pre.format(subject=subj_ph, object=obj_ph)
+        post = post.format(subject=subj_ph, object=obj_ph)
         text_b = F.concat(F.lit(pre), ctx, F.lit(post))
 
     ent_terms = F.filter(terms, lambda x: x["kind"] == "e")

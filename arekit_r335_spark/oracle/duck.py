@@ -107,17 +107,17 @@ def _frames_kg_cte(transcripts_path: str, synonyms_path: str, frames_lex,
     longest-match frame scan -> post-scan positions -> mentions + frame hits.
 
     The reference's scan (frames.py:47-86) tries span sizes
-    ``max_variant_len-1 .. 1`` greedily left-to-right; a 2-word hit consumes
-    the next term. For span sizes <= 2 the consumption recurrence
-    ``c(i) = h2(i-1) AND NOT c(i-1)`` has a closed form: c(i) is true iff the
-    number of consecutive positions immediately before i where a 2-gram
-    variant matches (h2) is ODD — i.e. parity of the h2-run length, a pure
-    window expression. This keeps the oracle one SQL pass; the builder
-    asserts the lexicon stays within span 2.
+    ``max_variant_len-1 .. 1`` greedily left-to-right; an s-word hit consumes
+    the next s-1 terms. The scan is realized for ARBITRARY span via a
+    recursive ``walk`` CTE (round-2 verdict item 6 — the previous closed-form
+    parity trick only covered span <= 2): per turn, the walk state is the
+    current input position; each step emits one OUTPUT term and advances by
+    the longest-hit span at that position (or 1). Recursion depth = output
+    terms of the longest turn (bounded, ~60 on these fixtures); breadth = one
+    row per turn per step — DuckDB evaluates it breadth-first. Candidate
+    phrases per span come from static ``lead()`` columns, NULL-propagating
+    through non-word terms exactly like the engine's span validity check.
     """
-    assert frames_lex.max_variant_len <= 3, (
-        "SQL frame-scan oracle covers effective span <= 2 "
-        "(scan sizes are max_variant_len-1..1)")
     var_rows = []
     for phrase, fid in sorted(frames_lex.variants.items()):
         nw = len(phrase.split())
@@ -128,11 +128,30 @@ def _frames_kg_cte(transcripts_path: str, synonyms_path: str, frames_lex,
     assert var_rows and pol_rows, "frames oracle needs a non-empty lexicon"
     neg_list = ", ".join(f"'{_sq(w.lower())}'" for w in negation_words)
 
+    max_span = max(1, frames_lex.max_variant_len - 1)
+    # lead columns: span s needs lemmas at offsets 0..s-1
+    lead_cols = "".join(
+        f",\n         lead(lemma, {i}) OVER sw AS lem{i}"
+        for i in range(1, max_span))
+    # phrase expression per span (NULL-propagating through non-word terms)
+    def _phrase(s: str = "s", span: int = 1) -> str:
+        parts = [f"{s}.lemma"] + [f"{s}.lem{i}" for i in range(1, span)]
+        return " || ' ' || ".join(parts)
+    var_joins = "\n".join(
+        f"  LEFT JOIN fvar f{sp} ON f{sp}.nw = {sp} "
+        f"AND f{sp}.phrase = {_phrase('s', sp)}"
+        for sp in range(max_span, 0, -1))
+    fid_coalesce = "COALESCE(" + ", ".join(
+        f"f{sp}.frame_id" for sp in range(max_span, 0, -1)) + ")"
+    span_case = ("CASE " + " ".join(
+        f"WHEN f{sp}.frame_id IS NOT NULL THEN {sp}"
+        for sp in range(max_span, 1, -1)) + " ELSE 1 END"
+        if max_span > 1 else "1")
     w = "u.word"
     # single mapped punctuation chars (dash included); '\n' cannot occur
     # inside a whitespace-split word
     return f"""
-WITH words AS (
+WITH RECURSIVE words AS (
   SELECT conv_id, turn_idx, u.word, u.ord,
          {ENT_SQL.format(w=w)} AS is_ent,
          {URL_SQL.format(w=w)} AS is_url,
@@ -173,50 +192,72 @@ terms AS (
 fvar(phrase, frame_id, nw) AS (VALUES {", ".join(var_rows)}),
 fpol(frame_id, pol) AS (VALUES {", ".join(pol_rows)}),
 lem AS (
-  SELECT *, CASE WHEN kind = 'w' THEN lower(tok) END AS lemma,
-         lead(CASE WHEN kind = 'w' THEN lower(tok) END) OVER (
-             PARTITION BY conv_id, turn_idx ORDER BY tidx) AS next_lemma
+  SELECT *, CASE WHEN kind = 'w' THEN lower(tok) END AS lemma
   FROM terms
 ),
-matched AS (
-  SELECT l.*, v2.frame_id AS fid2, v1.frame_id AS fid1,
-         (v2.frame_id IS NOT NULL) AS h2,
-         CASE WHEN v2.frame_id IS NOT NULL
-              THEN l.lemma || ' ' || l.next_lemma ELSE l.lemma END AS hphrase
-  FROM lem l
-  LEFT JOIN fvar v2 ON v2.nw = 2 AND l.lemma IS NOT NULL
-       AND l.next_lemma IS NOT NULL
-       AND v2.phrase = l.lemma || ' ' || l.next_lemma
-  LEFT JOIN fvar v1 ON v1.nw = 1 AND v1.phrase = l.lemma
+seq AS (
+  SELECT *{lead_cols}
+  FROM lem
+  WINDOW sw AS (PARTITION BY conv_id, turn_idx ORDER BY tidx)
 ),
-cons AS (
-  SELECT *,
-         ((tidx - 1 - COALESCE(MAX(CASE WHEN NOT h2 THEN tidx END) OVER (
-             PARTITION BY conv_id, turn_idx ORDER BY tidx
-             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)) % 2 = 1)
-           AS consumed
-  FROM matched
+best AS MATERIALIZED (
+  -- longest-match candidate at each input position (sizes {max_span}..1).
+  -- The chosen span at a position depends only on the lemmas FORWARD of it,
+  -- never on consumption state, so it can be precomputed position-locally;
+  -- MATERIALIZED so the recursion below never re-evaluates the scan.
+  SELECT s.conv_id, s.turn_idx, s.tidx,
+         {fid_coalesce} AS fid,
+         {span_case} AS span,
+         ROW_NUMBER() OVER (PARTITION BY s.conv_id, s.turn_idx
+                            ORDER BY s.tidx) AS crank
+  FROM seq s
+{var_joins}
+  WHERE {fid_coalesce} IS NOT NULL
 ),
-hits AS (
-  SELECT *,
-         (NOT consumed AND (h2 OR fid1 IS NOT NULL)) AS hit,
-         CASE WHEN h2 THEN fid2 ELSE fid1 END AS hit_fid
-  FROM cons
+take(conv_id, turn_idx, crank, tidx, span, fid, taken, last_end) AS (
+  -- greedy consumption re-stated over CANDIDATE positions only (sparse):
+  -- non-candidate positions always advance by one and cannot affect state,
+  -- so recursion depth = candidates per turn, not terms per turn. A
+  -- candidate is taken iff no earlier TAKEN hit covers it; coverage is the
+  -- running max end (contiguous, forward-only).
+  SELECT conv_id, turn_idx, crank, tidx, span, fid, TRUE, tidx + span - 1
+  FROM best WHERE crank = 1
+  UNION ALL
+  SELECT c.conv_id, c.turn_idx, c.crank, c.tidx, c.span, c.fid,
+         c.tidx > t.last_end,
+         CASE WHEN c.tidx > t.last_end THEN c.tidx + c.span - 1
+              ELSE t.last_end END
+  FROM take t
+  JOIN best c ON c.conv_id = t.conv_id AND c.turn_idx = t.turn_idx
+             AND c.crank = t.crank + 1
+),
+hits_taken AS (
+  SELECT conv_id, turn_idx, tidx, span, fid FROM take WHERE taken
+),
+consumed AS (
+  SELECT conv_id, turn_idx, unnest(range(tidx + 1, tidx + span)) AS ctidx
+  FROM hits_taken WHERE span > 1
+),
+emitted0 AS (
+  SELECT t.conv_id, t.turn_idx, t.tidx, t.kind, t.ent_value, t.lemma,
+         h.fid AS hit_fid, (h.fid IS NOT NULL) AS hit
+  FROM lem t
+  LEFT JOIN hits_taken h ON h.conv_id = t.conv_id
+                        AND h.turn_idx = t.turn_idx AND h.tidx = t.tidx
+  LEFT JOIN consumed c ON c.conv_id = t.conv_id
+                      AND c.turn_idx = t.turn_idx AND c.ctidx = t.tidx
+  WHERE c.ctidx IS NULL
 ),
 emitted AS (
   SELECT *,
-         hit AND COALESCE(NOT lag(consumed) OVER tw
-                          AND NOT lag(hit) OVER tw
-                          AND lag(kind) OVER tw = 'w'
-                          AND lag(lemma) OVER tw IN ({neg_list}), FALSE)
-           AS negated,
-         CAST(tidx - SUM(CASE WHEN consumed THEN 1 ELSE 0 END) OVER (
-             PARTITION BY conv_id, turn_idx ORDER BY tidx
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-           AS out_pos
-  FROM hits
-  WINDOW tw AS (PARTITION BY conv_id, turn_idx ORDER BY tidx)
-  QUALIFY NOT consumed
+         CAST(ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx
+                                 ORDER BY tidx) - 1 AS BIGINT) AS out_pos,
+         hit AND COALESCE(NOT lag(hit) OVER ew
+                          AND lag(kind) OVER ew = 'w'
+                          AND lag(lemma) OVER ew IN ({neg_list}), FALSE)
+           AS negated
+  FROM emitted0
+  WINDOW ew AS (PARTITION BY conv_id, turn_idx ORDER BY tidx)
 ),
 fturn AS (
   SELECT conv_id, turn_idx, CAST(COUNT(*) AS BIGINT) AS n_terms

@@ -236,8 +236,14 @@ def build_samples_pipeline(spark: SparkSession, inputs: KgInputs,
                            cfg: PipelineConfig | None = None,
                            store_labels: bool = True,
                            frames_override: FramesLexicon | None = None,
-                           text_b_template: str | None = None) -> DataFrame:
-    """EP2: triples -> flat ML sample rows (operators/samples.py)."""
+                           text_b_template: str | None = None,
+                           entity_fmt: str = "sharp",
+                           pos_tagger: str | None = None) -> DataFrame:
+    """EP2: triples -> flat ML sample rows (operators/samples.py).
+
+    ``entity_fmt`` picks the T9 masking formatter (operators/formatters.py);
+    ``'ru_cased'`` needs a ``pos_tagger`` seam name (default: the UNKN
+    tagger) whose declension suffixes are annotated at parse time."""
     from .operators.samples import build_samples
 
     cfg = cfg or PipelineConfig()
@@ -251,15 +257,19 @@ def build_samples_pipeline(spark: SparkSession, inputs: KgInputs,
     seed = load_synonym_seed(inputs.synonyms)
     seed_groups = {str(r.sid): f"g{int(r.group_id)}"
                    for r in seed.itertuples()}
+    if entity_fmt == "ru_cased" and pos_tagger is None:
+        pos_tagger = "default"
     parsed_full = parse_transcripts(spark.read.parquet(inputs.transcripts),
                                     frames_lex, cfg, with_terms=True,
                                     groups=seed_groups,
                                     types=load_entity_types(
-                                        inputs.entity_types))
+                                        inputs.entity_types),
+                                    pos_tagger=pos_tagger)
     triples_pos = res.text_opinions.select(
         "conv_id", F.col("s_turn").alias("turn_idx"),
         "s_ent_id", "t_ent_id", "s_group", "t_group", "label",
         "s_pos", "t_pos")
     return build_samples(triples_pos, parsed_full,
                          store_labels=store_labels,
-                         text_b_template=text_b_template)
+                         text_b_template=text_b_template,
+                         entity_fmt=entity_fmt)

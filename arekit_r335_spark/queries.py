@@ -104,9 +104,10 @@ def q_kg_triples(spark, sf_dir):
 
 
 def q_kg_frame_hits(spark, sf_dir):
-    """T4-T6: frame-variant hits with negation, hash-checked (the greedy
-    span<=2 scan has a closed form over window functions — see
-    oracle/duck._frames_kg_cte)."""
+    """T4-T6: frame-variant hits with negation, hash-checked for ARBITRARY
+    variant span (the greedy longest-match scan is a recursive-CTE walk over
+    candidate positions in the oracle — oracle/duck._frames_kg_cte; the
+    fixture lexicon carries genuine span-3 variants)."""
     _, inputs = _kg(spark, sf_dir)
     res = build_triple_pipeline(spark, inputs, PipelineConfig(),
                                 persist=False)

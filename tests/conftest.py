@@ -20,7 +20,12 @@ def spark():
 
 @pytest.fixture(scope="session")
 def sf0001_dir():
-    from arekit_r335_spark.datagen import generate
-    if not os.path.exists(os.path.join(DATA_001, "transcripts.parquet")):
-        generate(DATA_001, 0.001)
-    return DATA_001
+    # repo_data_dir respects DATA_VERSION (regenerates stale fixtures)
+    from arekit_r335_spark.datagen import repo_data_dir
+    return repo_data_dir("/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def sf001_dir():
+    from arekit_r335_spark.datagen import repo_data_dir
+    return repo_data_dir("/root/testdata/sf0.01")
