@@ -1058,6 +1058,81 @@ SELECT vec_a, vec_b, cos_e6 FROM scored WHERE cos_e6 >= {t}
 ORDER BY vec_a, vec_b"""
 
 
+def eval_micro_sql(synonyms_path: str, seed_path: str) -> str:
+    """A5 micro P/R oracle over the same deterministic etalon/md5-flip
+    comparison as eval_prf_noframes: corpus-level TP / test / etalon counts
+    with the reference's 1e-5 zero-guards (metrics_pr.py:38-55)."""
+    base = eval_prf_noframes_sql(synonyms_path, seed_path)
+    prefix = base.split("\nper AS (")[0].rstrip().rstrip(",")
+    return prefix + """
+SELECT
+  CAST(SUM(CASE WHEN comparison AND test_label IN ('pos', 'neg')
+                THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+  CAST(SUM(CASE WHEN test_label IN ('pos', 'neg') THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_test,
+  CAST(SUM(CASE WHEN etalon_label IN ('pos', 'neg') THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_etalon,
+  round(SUM(CASE WHEN comparison AND test_label IN ('pos', 'neg')
+                 THEN 1 ELSE 0 END)::DOUBLE
+        / greatest(SUM(CASE WHEN test_label IN ('pos', 'neg')
+                            THEN 1 ELSE 0 END)::DOUBLE, 1e-5), 6)
+    AS prec_micro,
+  round(SUM(CASE WHEN comparison AND test_label IN ('pos', 'neg')
+                 THEN 1 ELSE 0 END)::DOUBLE
+        / greatest(SUM(CASE WHEN etalon_label IN ('pos', 'neg')
+                            THEN 1 ELSE 0 END)::DOUBLE, 1e-5), 6)
+    AS rec_micro
+FROM cmp"""
+
+
+def eval_macro_sql(synonyms_path: str, seed_path: str) -> str:
+    """A6+A7 oracle — the reference's macro aggregation
+    (two_class_prf.py:86-114): per-doc P/R (with empty-set conventions)
+    averaged over docs, THEN per-class F1 (0 when p*r == 0), THEN the final
+    macro F1; accuracy = per-doc acc (metrics_acc.py 1e-5 guard) averaged."""
+    base = eval_prf_noframes_sql(synonyms_path, seed_path)
+    prefix = base.split("\nSELECT conv_id, label, tp")[0]
+    return prefix + """,
+prd AS (
+  SELECT label,
+         CASE WHEN n_test <> 0 THEN tp::DOUBLE / n_test
+              WHEN n_etalon > 0 THEN 0.0 ELSE 1.0 END AS prec,
+         CASE WHEN n_etalon <> 0 THEN tp::DOUBLE / n_etalon
+              WHEN n_etalon > 0 THEN 0.0 ELSE 1.0 END AS rec
+  FROM per
+),
+lab AS (
+  SELECT AVG(CASE WHEN label = 'pos' THEN prec END) AS pos_prec,
+         AVG(CASE WHEN label = 'pos' THEN rec END) AS pos_rec,
+         AVG(CASE WHEN label = 'neg' THEN prec END) AS neg_prec,
+         AVG(CASE WHEN label = 'neg' THEN rec END) AS neg_rec
+  FROM prd
+),
+accd AS (
+  SELECT conv_id,
+         SUM(CASE WHEN comparison THEN 1 ELSE 0 END)::DOUBLE
+           / greatest(COUNT(*)::DOUBLE, 1e-5) AS acc
+  FROM cmp GROUP BY conv_id
+),
+accm AS (SELECT AVG(acc) AS acc FROM accd),
+f1s AS (
+  SELECT pos_prec, pos_rec, neg_prec, neg_rec,
+         CASE WHEN pos_prec * pos_rec <> 0
+              THEN 2 * pos_prec * pos_rec / (pos_prec + pos_rec)
+              ELSE 0.0 END AS f1_pos,
+         CASE WHEN neg_prec * neg_rec <> 0
+              THEN 2 * neg_prec * neg_rec / (neg_prec + neg_rec)
+              ELSE 0.0 END AS f1_neg
+  FROM lab
+)
+SELECT round(acc, 6) AS acc,
+       round(pos_prec, 6) AS pos_prec, round(pos_rec, 6) AS pos_rec,
+       round(neg_prec, 6) AS neg_prec, round(neg_rec, 6) AS neg_rec,
+       round(f1_pos, 6) AS f1_pos, round(f1_neg, 6) AS f1_neg,
+       round((f1_pos + f1_neg) / 2, 6) AS f1
+FROM f1s, accm"""
+
+
 def eval_prf_noframes_sql(synonyms_path: str, seed_path: str) -> str:
     """J14+A4 oracle: etalon = predefined doc opinions from the seed file;
     test = deterministic md5-flip of labels; Extraction-mode full-outer

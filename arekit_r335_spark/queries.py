@@ -209,6 +209,54 @@ def q_eval_prf_noframes(spark, sf_dir):
                       F.round("rec", 6).alias("rec"))
 
 
+def q_eval_micro(spark, sf_dir):
+    """A5 — corpus micro P/R (metrics_pr.py:38-55) over the deterministic
+    Extraction-mode comparison, with the reference's 1e-5 zero-guards;
+    exact integer counts + rounded ratios."""
+    from .operators.evaluate import compare_opinions, micro_prf
+    etalon, test = _eval_pair_dfs(spark, sf_dir)
+    out = micro_prf(compare_opinions(etalon, test))
+    return out.select("tp", "n_test", "n_etalon",
+                      F.round("prec_micro", 6).alias("prec_micro"),
+                      F.round("rec_micro", 6).alias("rec_micro"))
+
+
+def q_eval_macro(spark, sf_dir):
+    """A6+A7 — macro evaluation result (two_class_prf.py:86-114): per-doc
+    P/R averaged over docs, then per-class F1 (0 when p*r == 0), then macro
+    F1; plus macro accuracy (metrics_acc.py 1e-5 guard). One row, fully
+    distributed aggregation (the driver never sees per-doc rows)."""
+    from .operators.evaluate import (compare_opinions, per_doc_accuracy,
+                                     per_doc_class_prf)
+    etalon, test = _eval_pair_dfs(spark, sf_dir)
+    cmp = compare_opinions(etalon, test)
+    per = per_doc_class_prf(cmp)
+    lab = per.agg(
+        F.avg(F.when(F.col("label") == "pos", F.col("prec"))).alias("pos_prec"),
+        F.avg(F.when(F.col("label") == "pos", F.col("rec"))).alias("pos_rec"),
+        F.avg(F.when(F.col("label") == "neg", F.col("prec"))).alias("neg_prec"),
+        F.avg(F.when(F.col("label") == "neg", F.col("rec"))).alias("neg_rec"))
+    acc = per_doc_accuracy(cmp).agg(F.avg("acc").alias("acc"))
+
+    def f1(p, r):
+        return F.when(F.col(p) * F.col(r) != 0,
+                      2 * F.col(p) * F.col(r) / (F.col(p) + F.col(r))
+                      ).otherwise(F.lit(0.0))
+
+    out = (lab.crossJoin(acc)
+           .withColumn("f1_pos", f1("pos_prec", "pos_rec"))
+           .withColumn("f1_neg", f1("neg_prec", "neg_rec")))
+    return out.select(
+        F.round("acc", 6).alias("acc"),
+        F.round("pos_prec", 6).alias("pos_prec"),
+        F.round("pos_rec", 6).alias("pos_rec"),
+        F.round("neg_prec", 6).alias("neg_prec"),
+        F.round("neg_rec", 6).alias("neg_rec"),
+        F.round("f1_pos", 6).alias("f1_pos"),
+        F.round("f1_neg", 6).alias("f1_neg"),
+        F.round((F.col("f1_pos") + F.col("f1_neg")) / 2, 6).alias("f1"))
+
+
 def q_eval_prf(spark, sf_dir):
     """J14 + A4 over FRAME-LABELED opinions: etalon = the pos/neg doc
     opinions of the A1 rollup (connotation + seed labels), test = the
@@ -475,6 +523,8 @@ def registry() -> dict:
         "knn_lsh": q_knn_lsh,
         "eval_prf_noframes": q_eval_prf_noframes,
         "eval_prf": q_eval_prf,
+        "eval_micro": q_eval_micro,
+        "eval_macro": q_eval_macro,
         "kg_opinion_rollup_noframes": q_kg_opinion_rollup_noframes,
         "kg_opinion_rollup": q_kg_opinion_rollup,
         "kg_samples": q_kg_samples,
@@ -532,6 +582,8 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         "knn_bruteforce": duck.knn_bruteforce_sql(),
         "knn_ivf": duck.knn_ivf_sql(),
         "eval_prf_noframes": duck.eval_prf_noframes_sql(syn, seed),
+        "eval_micro": duck.eval_micro_sql(syn, seed),
+        "eval_macro": duck.eval_macro_sql(syn, seed),
         "eval_prf": duck.eval_prf_frames_sql(tr, syn, seed, frames_lex,
                                              NEGATION_WORDS),
         "kg_opinion_rollup_noframes":

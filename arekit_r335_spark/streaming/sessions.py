@@ -31,7 +31,7 @@ users, not events.
 
 from __future__ import annotations
 
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
 SESSION_SCHEMA = StructType([
     StructField("user_id", LongType()),
@@ -87,6 +87,105 @@ def make_sessionizer(gap_sec: int = 1800):
                               "first_event", "duration_sec"])
 
     return fn
+
+
+EVENT_STATE_SCHEMA = StructType([
+    StructField("session_seq", LongType()),
+    StructField("es_arr", ArrayType(LongType())),
+    StructField("ev_arr", ArrayType(LongType())),
+])
+
+
+def make_sessionizer_event_time(gap_sec: int = 1800):
+    """EXACT gap-sessionization under bounded disorder — the watermark-based
+    upgrade of ``make_sessionizer``: a session is emitted only once the
+    EVENT-TIME WATERMARK passes ``last_es + gap_sec``, at which point no
+    admissible event (always > watermark; later rows are watermark-filtered)
+    can merge into or split it — so out-of-order arrival within the
+    watermark delay produces byte-identical sessions to the batch query,
+    including the trailing session once the watermark passes it.
+
+    State per user: the still-open tail of the event stream (events whose
+    session is not yet watermark-closed) plus the emitted-session counter —
+    bounded by gap+delay worth of events per user, not the stream. Timeout:
+    ``EventTimeTimeout`` set at ``max(es)+gap``, so idle users flush through
+    the state store without waiting for their next event."""
+    import pandas as pd
+
+    def fn(key, pdfs, state):
+        if state.exists:
+            seq, es_pend, ev_pend = state.get
+            es_pend, ev_pend = list(es_pend), list(ev_pend)
+        else:
+            seq, es_pend, ev_pend = 0, [], []
+        if not state.hasTimedOut:
+            rows = pd.concat(list(pdfs))
+            es_new = (rows["ts"].astype("int64") // 1_000_000_000).tolist()
+            ev_new = rows["event_id"].astype("int64").tolist()
+            pend = sorted(zip(es_pend, ev_pend)) + sorted(
+                zip(es_new, ev_new))
+            pend.sort()
+        else:
+            pend = sorted(zip(es_pend, ev_pend))
+        wm = state.getCurrentWatermarkMs() // 1000
+
+        out = []
+        user = int(key[0])
+        # split pending events into gap-delimited sessions, emit every
+        # session the watermark has sealed (last_es + gap < wm)
+        sessions: list[list[tuple[int, int]]] = []
+        for e in pend:
+            if sessions and e[0] - sessions[-1][-1][0] <= gap_sec:
+                sessions[-1].append(e)
+            else:
+                sessions.append([e])
+        remaining: list[tuple[int, int]] = []
+        for sess in sessions:
+            last_es = sess[-1][0]
+            if last_es + gap_sec < wm and not remaining:
+                seq += 1
+                first_es = sess[0][0]
+                out.append((user, seq, len(sess),
+                            min(ev for _, ev in sess), last_es - first_es))
+            else:
+                remaining.extend(sess)
+        if remaining:
+            state.update((seq, [e for e, _ in remaining],
+                          [v for _, v in remaining]))
+            state.setTimeoutTimestamp((remaining[-1][0] + gap_sec) * 1000
+                                      + 1000)
+        else:
+            state.remove()
+        if out:
+            yield pd.DataFrame(
+                out, columns=["user_id", "session_seq", "n_events",
+                              "first_event", "duration_sec"])
+
+    return fn
+
+
+def sessionize_stream_event_time(spark, stream_dir: str, out_dir: str,
+                                 checkpoint_dir: str, gap_sec: int = 1800,
+                                 watermark_delay: str = "1 hour",
+                                 schema: str | None = None,
+                                 max_files_per_trigger: int | None = None):
+    """readStream(events) -> watermarked, event-time-timeout sessionization
+    -> parquet sink. Exact under disorder bounded by ``watermark_delay``."""
+    schema = schema or ("event_id long, user_id long, ts timestamp, "
+                        "value double")
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(stream_dir).withWatermark("ts", watermark_delay)
+    sessions = (stream.groupBy("user_id").applyInPandasWithState(
+        make_sessionizer_event_time(gap_sec), SESSION_SCHEMA,
+        EVENT_STATE_SCHEMA, outputMode="append",
+        timeoutConf="EventTimeTimeout"))
+    return (sessions.writeStream.outputMode("append")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .format("parquet").option("path", out_dir)
+            .start())
 
 
 def sessionize_stream(spark, stream_dir: str, out_dir: str,

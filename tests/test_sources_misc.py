@@ -81,3 +81,30 @@ def test_compare_context_opinions_j15(spark):
     assert rows[("c1", 0, 0, 1)] is True
     assert rows[("c1", 1, 2, 3)] is False   # miss
     assert rows[("c1", 2, 4, 5)] is False   # extra
+
+
+def test_term_embedding_npz_roundtrip_s11(spark, tmp_path):
+    """S11 — npz matrix + vocab txt sink/scan round-trip: lexicographic
+    vocab order, zero rows for unknown terms (matrix.py:24), arr_0 key and
+    file naming of np_utils/{npz_utils,vocab}.py + io_utils/embedding.py."""
+    import numpy as np
+
+    from arekit_r335_spark.sources.writers import (read_term_embedding,
+                                                   write_term_embedding)
+
+    terms = spark.createDataFrame(
+        [("beta",), ("alpha",), ("beta",), ("gamma",), (None,)],
+        "term string")
+    emb = spark.createDataFrame(
+        [("alpha", [1.0, 2.0]), ("gamma", [3.0, 4.0]),
+         ("unused", [9.0, 9.0])],
+        "term string, vector array<float>")
+    emb_path, vocab_path = write_term_embedding(
+        terms, emb, str(tmp_path), cv_index=2)
+    assert emb_path.endswith("term_embedding-2.npz")
+    assert vocab_path.endswith("vocab-2.txt")
+    matrix, words = read_term_embedding(str(tmp_path), cv_index=2)
+    assert words == ["alpha", "beta", "gamma"]
+    assert matrix.dtype == np.float32 and matrix.shape == (3, 2)
+    # dedup kept one row per term; unknown term "beta" keeps the zero row
+    assert matrix.tolist() == [[1.0, 2.0], [0.0, 0.0], [3.0, 4.0]]

@@ -161,3 +161,86 @@ def test_sessionizer_late_data_degrades_predictably():
     assert len(out3) == 1
     closed = out3[0].iloc[0]
     assert closed["n_events"] == 3 and closed["duration_sec"] == 10
+
+def test_event_time_sessionizer_exact_under_disorder(spark, tmp_path):
+    """EventTimeTimeout sessionization matches the batch lag-window query
+    for every watermark-SEALED session, with a later micro-batch delivering
+    an out-of-order event (within the watermark delay) that must merge into
+    the still-open session (sessions.py make_sessionizer_event_time)."""
+    import os
+    import time
+
+    import pandas as pd
+    from pyspark.sql import Window
+    from arekit_r335_spark.streaming.sessions import (
+        sessionize_stream_event_time)
+
+    stream_dir = os.path.join(str(tmp_path), "ev_in")
+    out_dir = os.path.join(str(tmp_path), "ev_out")
+    ckpt = os.path.join(str(tmp_path), "ev_ckpt")
+    os.makedirs(stream_dir)
+
+    base = pd.Timestamp("2024-03-01 08:00:00")
+
+    def ev(eid, uid, minutes):
+        return (eid, uid, base + pd.Timedelta(minutes=minutes), 1.0)
+
+    cols = ["event_id", "user_id", "ts", "value"]
+    # gap 30 min, watermark delay 60 min
+    # batch 1: u1 open session {0,10,35}; u2 {0,5}; wm stays 0 (35m < delay)
+    f1 = pd.DataFrame([ev(1, 1, 0), ev(2, 1, 10), ev(4, 1, 35),
+                       ev(10, 2, 0), ev(11, 2, 5)], columns=cols)
+    # batch 2: OUT-OF-ORDER event at 20m (admissible: wm still 0) must merge
+    # into u1's open session; new opens at 200/210m advance wm to 150m
+    f2 = pd.DataFrame([ev(3, 1, 20), ev(5, 1, 200), ev(12, 2, 210)],
+                      columns=cols)
+    # batch 3: far-future events; processed at wm=150m -> seals the first
+    # sessions of both users
+    f3 = pd.DataFrame([ev(7, 1, 1200), ev(13, 2, 1210)], columns=cols)
+    for name, df in (("a", f1), ("b", f2), ("c", f3)):
+        # Spark's vectorized reader rejects pandas' default ns-timestamps
+        df.to_parquet(os.path.join(stream_dir, f"{name}.parquet"),
+                      coerce_timestamps="us")
+        time.sleep(1.1)   # distinct mtimes => deterministic file order
+
+    q = sessionize_stream_event_time(spark, stream_dir, out_dir, ckpt,
+                                     gap_sec=1800,
+                                     watermark_delay="1 hour",
+                                     max_files_per_trigger=1)
+    q.awaitTermination(300)
+    got = {(r.user_id, r.session_seq):
+           (r.n_events, r.first_event, r.duration_sec)
+           for r in spark.read.parquet(out_dir).collect()}
+
+    # batch reference over ALL events
+    all_pd = pd.concat([f1, f2, f3])
+    all_ev = spark.createDataFrame(all_pd)
+    es = F.col("ts").cast("timestamp").cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = es - F.lag(es).over(w)
+    marked = all_ev.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+    sess = marked.withColumn(
+        "session_seq",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    batch = (sess.groupBy("user_id", "session_seq")
+             .agg(F.count("*").alias("n_events"),
+                  F.min("event_id").alias("first_event"),
+                  (F.max(es) - F.min(es)).alias("duration_sec"),
+                  F.max(es).alias("last_es")))
+    ref = {(r.user_id, r.session_seq):
+           (r.n_events, r.first_event, r.duration_sec, r.last_es)
+           for r in batch.collect()}
+    final_wm = all_pd["ts"].max().timestamp() - 3600
+
+    # every emitted session matches the batch reference exactly, and only
+    # final-watermark-sealed sessions may have been emitted
+    for key, (n, first, dur) in got.items():
+        assert ref[key][:3] == (n, first, dur), (key, got[key], ref[key])
+        assert ref[key][3] + 1800 < final_wm
+    # sessions sealed by the BATCH-3 watermark (150 min) are guaranteed out
+    # regardless of whether a trailing no-data micro-batch ran the timers
+    assert (1, 1) in got and (2, 1) in got
+    # the out-of-order event (id 3) really merged into u1's first session:
+    # 4 events spanning 0..35 min
+    assert got[(1, 1)] == (4, 1, 2100)
