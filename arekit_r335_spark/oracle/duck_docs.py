@@ -264,6 +264,21 @@ JOIN nation n ON c.c_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
 GROUP BY 1, 2"""
 
+# multimodal feature extraction: the deterministic fake decode is 8-dim
+# feature = first 8 sha256 digest bytes / 255 (functions/multimodal.
+# decode_stub); the query emits the byte signature, replicated here from
+# DuckDB's own sha256 over the identical UTF-8 payload
+DOC_SQL["multimodal_features"] = """
+SELECT doc_id AS media_id,
+       (['image','audio','video'])[(doc_id % 3) + 1] AS kind,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS sha256,
+       array_to_string(
+         list_transform(range(8),
+                        i -> ('0x' || substr(sha256(text), 2*i + 1, 2))::INT),
+         ',') AS feature_sig
+FROM documents"""
+
 DOC_SQL["dedup_clusters"] = f"""
 WITH RECURSIVE {_SHINGLES_CTE.lstrip()},
 {_lsh_pairs_cte()},

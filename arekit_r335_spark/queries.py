@@ -332,7 +332,43 @@ def q_kg_samples_pair(spark, sf_dir):
                                   text_b_template=TEXT_B_TEMPLATE)
 
 
+def q_label_distribution(spark, sf_dir):
+    """A9 — label histogram of the flagship frame-labeled triples
+    (``labels_count_stat.py`` of the reference: samples/opinions per class).
+    Pure map-side-combinable groupBy over the EP1 output — the only full
+    aggregation is label-cardinality-sized."""
+    from .operators.aggregate import label_distribution
+    return label_distribution(q_kg_triples(spark, sf_dir))
+
+
 # -------------------------------------------------- documents / embeddings
+
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing END-TO-END, hash-checked: a media table is
+    synthesized deterministically from ``documents`` (payload = the UTF-8
+    bytes of ``text``; kind cycles image/audio/video by doc_id), the REAL
+    ``mapInPandas`` feature-extraction stage runs with the documented
+    deterministic fake decode (8-dim feature = first sha256 digest bytes /
+    255, ``functions/multimodal.decode_stub``), and the feature is emitted
+    as its exact byte signature so DuckDB replicates decode + feature math
+    bit-for-bit. Raw payload bytes never leave the extraction stage — only
+    the ~40 B feature rows do, which is the 100 TB-safe shape."""
+    from .functions.multimodal import extract_features
+    docs = _read(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+                     (F.col("doc_id") % 3).cast("int") + 1).alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"))
+    feats = extract_features(media, fake_decode=True, buckets=16)
+    sig = F.array_join(
+        F.transform("feature",
+                    lambda x: F.round(x * 255).cast("int").cast("string")),
+        ",").alias("feature_sig")
+    return feats.select("media_id", "kind",
+                        F.col("n_bytes").cast("long").alias("n_bytes"),
+                        "sha256", sig)
+
 
 def q_doc_token_stats(spark, sf_dir):
     from .functions.text_analysis import token_stats
@@ -544,6 +580,8 @@ def registry() -> dict:
         "dedup_clusters": q_dedup_clusters,
         "lineitem_pricing": q_lineitem_pricing,
         "folding_assign": q_folding_assign,
+        "label_distribution": q_label_distribution,
+        "multimodal_features": q_multimodal_features,
     }
 
 
@@ -563,6 +601,11 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         "kg_triples_noframes": duck.triples_noframes_sql(tr, syn, seed),
         "kg_triples": duck.triples_frames_sql(tr, syn, seed, frames_lex,
                                               NEGATION_WORDS),
+        "label_distribution": (
+            "SELECT label, CAST(COUNT(*) AS BIGINT) AS n FROM ("
+            + duck.triples_frames_sql(tr, syn, seed, frames_lex,
+                                      NEGATION_WORDS)
+            + ") GROUP BY label"),
         "kg_frame_hits": duck.frame_hits_sql(tr, syn, frames_lex,
                                              NEGATION_WORDS),
         "kg_doc_opinions": duck.doc_opinions_frames_sql(tr, syn, seed,
