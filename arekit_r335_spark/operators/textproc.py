@@ -112,14 +112,42 @@ def tokenize_turn(text: str) -> list[Term]:
     one word term — skip the regex entirely (~80% of natural tokens)."""
     terms: list[Term] = []
     append = terms.append
+    cache = _SPLIT_CACHE
+    words = _WORD_TERM_CACHE
     for word in text.split():
         if word.isalpha():
-            append(Term(W, word))
+            term = words.get(word)
+            if term is None:
+                if len(words) >= _SPLIT_CACHE_MAX:
+                    words.clear()
+                term = Term(W, word)
+                words[word] = term
+            append(term)
         elif len(word) > 2 and word[0] == "[" and word[-1] == "]":
             append(Term(E, word[1:-1].lower()))
         else:
-            terms.extend(split_word(word))
+            split = cache.get(word)
+            if split is None:
+                if len(cache) >= _SPLIT_CACHE_MAX:
+                    cache.clear()
+                split = tuple(split_word(word))
+                cache[word] = split
+            terms.extend(split)
     return terms
+
+
+# Memo for the FSM path of ``tokenize_turn`` (identical output: Terms are
+# immutable and ``split_word`` is a pure function of the word). Natural
+# token distributions are Zipfian, so "word," / "word." style tokens repeat
+# constantly — profiled ~40% of per-turn parse CPU goes to the FSM regex,
+# most of it on repeats. Per-executor-process dict, bounded: distinct
+# punctuated tokens are unbounded at corpus scale (URLs, typos), so the
+# cache clears when full rather than growing with the corpus.
+_SPLIT_CACHE: dict[str, tuple[Term, ...]] = {}
+# interned word Terms (same rationale + bound; a lemma cache in scan_frames
+# measured neutral — dict overhead ~= str.lower() — and was dropped)
+_WORD_TERM_CACHE: dict[str, "Term"] = {}
+_SPLIT_CACHE_MAX = 1 << 17
 
 
 def scan_frames(terms: list[Term], variants: dict[str, str],
