@@ -1203,3 +1203,141 @@ SELECT conv_id, label, tp, n_test, n_etalon,
                   WHEN n_etalon > 0 THEN 0.0 ELSE 1.0 END, 6) AS rec
 FROM per
 ORDER BY conv_id, label"""
+
+
+def eval_accuracy_sql(synonyms_path: str, seed_path: str) -> str:
+    """A7 oracle — per-document accuracy over the deterministic
+    etalon/md5-flip comparison with the reference's 1e-5 zero-guard
+    (``metrics_acc.py``: correct / max(total, 1e-5) per document)."""
+    base = eval_prf_noframes_sql(synonyms_path, seed_path)
+    prefix = base.split("\nper AS (")[0].rstrip().rstrip(",")
+    return prefix + """
+SELECT conv_id,
+       round(SUM(CASE WHEN comparison THEN 1 ELSE 0 END)::DOUBLE
+             / greatest(COUNT(*)::DOUBLE, 1e-5), 6) AS acc
+FROM cmp GROUP BY conv_id ORDER BY conv_id"""
+
+
+def eval_context_prf_sql(transcripts_path: str, synonyms_path: str,
+                         seed_path: str) -> str:
+    """J15 oracle — CONTEXT-level comparison (``text_opinions.py:16-25``:
+    keyed by doc + sentence + source id + target id, not by synonym
+    groups): etalon = the deduped mention-level triples of the no-frames
+    pipeline; test = deterministic md5 flip of pos/neg on the context key;
+    per-doc per-class exact counts + P/R with the empty-set conventions."""
+    base = triples_noframes_sql(transcripts_path, synonyms_path, seed_path)
+    prefix = base.split("\nSELECT conv_id, turn_idx, s_ent_id")[0]
+    return prefix + """,
+ctx_test AS (
+  SELECT conv_id, turn_idx, s_ent_id, t_ent_id,
+         CASE WHEN substr(md5(conv_id || '|' || CAST(turn_idx AS VARCHAR)
+                           || '|' || CAST(s_ent_id AS VARCHAR)
+                           || '|' || CAST(t_ent_id AS VARCHAR)), 1, 1) < '4'
+              THEN CASE label WHEN 'pos' THEN 'neg'
+                              WHEN 'neg' THEN 'pos' ELSE label END
+              ELSE label END AS label
+  FROM deduped
+),
+ctx_cmp AS (
+  SELECT COALESCE(e.conv_id, t.conv_id) AS conv_id,
+         e.label AS etalon_label, t.label AS test_label,
+         COALESCE(e.label = t.label, FALSE) AS comparison
+  FROM deduped e
+  FULL OUTER JOIN ctx_test t
+    ON e.conv_id = t.conv_id AND e.turn_idx = t.turn_idx
+   AND e.s_ent_id = t.s_ent_id AND e.t_ent_id = t.t_ent_id
+),
+ctx_per AS (
+  SELECT conv_id, 'pos' AS label,
+         CAST(SUM(CASE WHEN comparison AND test_label = 'pos'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN test_label = 'pos' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_test,
+         CAST(SUM(CASE WHEN etalon_label = 'pos' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_etalon
+  FROM ctx_cmp GROUP BY conv_id
+  UNION ALL
+  SELECT conv_id, 'neg',
+         CAST(SUM(CASE WHEN comparison AND test_label = 'neg'
+                       THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(SUM(CASE WHEN test_label = 'neg' THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(SUM(CASE WHEN etalon_label = 'neg' THEN 1 ELSE 0 END) AS BIGINT)
+  FROM ctx_cmp GROUP BY conv_id
+)
+SELECT conv_id, label, tp, n_test, n_etalon,
+       round(CASE WHEN n_test <> 0 THEN tp::DOUBLE / n_test
+                  WHEN n_etalon > 0 THEN 0.0 ELSE 1.0 END, 6) AS prec,
+       round(CASE WHEN n_etalon <> 0 THEN tp::DOUBLE / n_etalon
+                  WHEN n_etalon > 0 THEN 0.0 ELSE 1.0 END, 6) AS rec
+FROM ctx_per
+ORDER BY conv_id, label"""
+
+
+def balanced_counts_sql(transcripts_path: str, synonyms_path: str,
+                        seed_path: str, types_map: dict[str, str]) -> str:
+    """A3 oracle — the class-balancing invariant of
+    ``PandasBasedRowsStorage._balance`` (every label class oversampled to
+    exactly the majority-class size): per-uint-label balanced row count
+    (== majority size for every class) plus the distinct source-sample
+    count the class was inflated from."""
+    base = samples_noframes_sql(transcripts_path, synonyms_path, seed_path,
+                                types_map)
+    return f"""
+WITH s AS ({base}),
+c AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_src_ids
+  FROM s GROUP BY label
+),
+m AS (SELECT MAX(n_src_ids) AS mx FROM c)
+SELECT c.label, CAST(m.mx AS BIGINT) AS n_out, c.n_src_ids
+FROM c, m ORDER BY c.label"""
+
+
+def canonical_edges_sql(transcripts_path: str, synonyms_path: str,
+                        seed_path: str, aliases_path: str) -> str:
+    """North-rule graph materialization oracle — the canonical EDGE table:
+    doc-level opinions (J9-deduped by annotator priority) with both
+    endpoints re-pointed at their alias-connected-component canonical id
+    (recursive transitive closure, min node id per component), aggregated
+    per (src, dst, label)."""
+    base = triples_noframes_sql(transcripts_path, synonyms_path, seed_path)
+    prefix = base.split(",\nexpanded AS")[0]
+    prefix = prefix.replace("WITH ", "WITH RECURSIVE ", 1)
+    return prefix + f""",
+al AS (
+  SELECT COALESCE('g' || CAST(sa.group_id AS VARCHAR),
+                  'u:' || lower(trim(a.value_a))) AS src,
+         COALESCE('g' || CAST(sb.group_id AS VARCHAR),
+                  'u:' || lower(trim(a.value_b))) AS dst
+  FROM read_parquet('{aliases_path}') a
+  LEFT JOIN syn sa ON sa.sid = lower(trim(a.value_a))
+  LEFT JOIN syn sb ON sb.sid = lower(trim(a.value_b))
+),
+aledges AS (
+  SELECT src AS a, dst AS b FROM al WHERE src <> dst
+  UNION
+  SELECT dst AS a, src AS b FROM al WHERE src <> dst
+),
+reach(node, root) AS (
+  SELECT a AS node, a AS root FROM (SELECT DISTINCT a FROM aledges)
+  UNION
+  SELECT e.b AS node, r.root
+  FROM reach r JOIN aledges e ON e.a = r.node
+),
+comp AS (SELECT node, MIN(root) AS component FROM reach GROUP BY node),
+dedup_ops AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id, s_group, t_group
+                                 ORDER BY priority) AS rn
+    FROM doc_ops
+  ) WHERE rn = 1
+)
+SELECT COALESCE(cs.component, d.s_group) AS src,
+       COALESCE(ct.component, d.t_group) AS dst,
+       d.label,
+       CAST(COUNT(*) AS BIGINT) AS n_ops
+FROM dedup_ops d
+LEFT JOIN comp cs ON cs.node = d.s_group
+LEFT JOIN comp ct ON ct.node = d.t_group
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3"""

@@ -544,6 +544,88 @@ def q_folding_assign(spark, sf_dir):
         .alias("fold"))
 
 
+def q_eval_accuracy(spark, sf_dir):
+    """A7 — per-document accuracy table (``metrics_acc.py`` 1e-5 guard)
+    over the deterministic Extraction-mode etalon/md5-flip comparison —
+    the same pair as eval_prf_noframes, per-doc instead of macro."""
+    from .operators.evaluate import compare_opinions, per_doc_accuracy
+    etalon, test = _eval_pair_dfs(spark, sf_dir)
+    out = per_doc_accuracy(compare_opinions(etalon, test))
+    return out.select(F.col("doc").alias("conv_id"),
+                      F.round("acc", 6).alias("acc"))
+
+
+def q_eval_context_prf(spark, sf_dir):
+    """J15 — CONTEXT-level opinion comparison (``text_opinions.py:16-25``:
+    keyed by doc + sentence + source entity id + target entity id rather
+    than by synonym groups), then A4 per-doc per-class counts. Etalon =
+    the deduped mention-level triples of the no-frames EP1; test = a
+    deterministic md5 flip of pos/neg on the context key."""
+    from .operators.evaluate import (compare_context_opinions,
+                                     per_doc_class_prf)
+    etalon = q_kg_triples_noframes(spark, sf_dir).select(
+        "conv_id", "turn_idx", "s_ent_id", "t_ent_id", "label")
+    flip = F.substring(
+        F.md5(F.concat_ws("|", "conv_id", "turn_idx",
+                          "s_ent_id", "t_ent_id")), 1, 1) < "4"
+    test = etalon.withColumn(
+        "label",
+        F.when(flip & (F.col("label") == "pos"), F.lit("neg"))
+         .when(flip & (F.col("label") == "neg"), F.lit("pos"))
+         .otherwise(F.col("label")))
+    out = per_doc_class_prf(compare_context_opinions(etalon, test))
+    return out.select(F.col("doc").alias("conv_id"), "label", "tp", "n_test",
+                      "n_etalon",
+                      F.round("prec", 6).alias("prec"),
+                      F.round("rec", 6).alias("rec"))
+
+
+def q_kg_balanced_counts(spark, sf_dir):
+    """A3 — deterministic class balancing (``PandasBasedRowsStorage._balance``,
+    oversample every class to the majority size) applied to the EP2 sample
+    table; checked via the balancing invariant: per-label balanced row
+    count == majority-class size exactly (the ceil/floor deterministic
+    repeats sum to the majority count), distinct source ids preserved."""
+    from .operators.samples import balance_by_label
+    balanced = balance_by_label(q_kg_samples(spark, sf_dir))
+    return balanced.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_out"),
+        F.countDistinct("id").cast("long").alias("n_src_ids"))
+
+
+def q_kg_canonical_edges(spark, sf_dir):
+    """North-rule graph materialization — the canonical EDGE table: doc-level
+    opinions (J9 priority-dedup) with both endpoint synonym groups re-pointed
+    at their alias-connected-component canonical node id, aggregated per
+    (src, dst, label). The component map derives from the alias dictionary
+    (dictionary-sized even at corpus scale), so both endpoint joins
+    broadcast; the only shuffle is the final (src, dst, label) rollup."""
+    from pyspark.sql import Window
+    from .operators.canonical import connected_components, group_alias_edges
+    _, inputs = _kg(spark, sf_dir)
+    res = build_triple_pipeline(
+        spark, inputs, PipelineConfig(), persist=False,
+        frames_override=FramesLexicon.empty())
+    seed_df = seed_groups_df(spark, load_synonym_seed(inputs.synonyms))
+    aliases = spark.read.parquet(inputs.aliases)
+    comps = connected_components(
+        group_alias_edges(res.mentions, aliases, seed_df))
+    w = Window.partitionBy("conv_id", "s_group", "t_group").orderBy("priority")
+    ops = (res.doc_opinions.withColumn("__rn", F.row_number().over(w))
+           .filter(F.col("__rn") == 1).drop("__rn"))
+    cs = comps.select(F.col("node").alias("s_group"),
+                      F.col("component").alias("s_comp"))
+    ct = comps.select(F.col("node").alias("t_group"),
+                      F.col("component").alias("t_comp"))
+    return (ops.join(F.broadcast(cs), "s_group", "left")
+            .join(F.broadcast(ct), "t_group", "left")
+            .select(F.coalesce("s_comp", F.col("s_group")).alias("src"),
+                    F.coalesce("t_comp", F.col("t_group")).alias("dst"),
+                    "label")
+            .groupBy("src", "dst", "label")
+            .agg(F.count("*").cast("long").alias("n_ops")))
+
+
 def registry() -> dict:
     return {
         "kg_mentions_noframes": q_kg_mentions_noframes,
@@ -582,6 +664,10 @@ def registry() -> dict:
         "folding_assign": q_folding_assign,
         "label_distribution": q_label_distribution,
         "multimodal_features": q_multimodal_features,
+        "eval_accuracy": q_eval_accuracy,
+        "eval_context_prf": q_eval_context_prf,
+        "kg_balanced_counts": q_kg_balanced_counts,
+        "kg_canonical_edges": q_kg_canonical_edges,
     }
 
 
@@ -633,6 +719,13 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict:
             duck.opinion_rollup_noframes_sql(tr, syn, seed),
         "kg_opinion_rollup": duck.opinion_rollup_frames_sql(
             tr, syn, seed, frames_lex, NEGATION_WORDS),
+        "eval_accuracy": duck.eval_accuracy_sql(syn, seed),
+        "eval_context_prf": duck.eval_context_prf_sql(tr, syn, seed),
+        "kg_balanced_counts": duck.balanced_counts_sql(
+            tr, syn, seed, load_entity_types(
+                os.path.join(data_dir, "entity_types.json"))),
+        "kg_canonical_edges": duck.canonical_edges_sql(
+            tr, syn, seed, os.path.join(data_dir, "aliases.parquet")),
     }
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     if os.path.exists(emb_path):
