@@ -111,42 +111,35 @@ def tokenize_turn(text: str) -> list[Term]:
     digits and no mapped punctuation, so the FSM would emit it unchanged as
     one word term — skip the regex entirely (~80% of natural tokens)."""
     terms: list[Term] = []
-    append = terms.append
+    extend = terms.extend
     cache = _SPLIT_CACHE
-    words = _WORD_TERM_CACHE
     for word in text.split():
-        if word.isalpha():
-            term = words.get(word)
-            if term is None:
-                if len(words) >= _SPLIT_CACHE_MAX:
-                    words.clear()
-                term = Term(W, word)
-                words[word] = term
-            append(term)
-        elif len(word) > 2 and word[0] == "[" and word[-1] == "]":
-            append(Term(E, word[1:-1].lower()))
-        else:
-            split = cache.get(word)
-            if split is None:
-                if len(cache) >= _SPLIT_CACHE_MAX:
-                    cache.clear()
-                split = tuple(split_word(word))
-                cache[word] = split
-            terms.extend(split)
+        entry = cache.get(word)
+        if entry is None:
+            if len(cache) >= _SPLIT_CACHE_MAX:
+                cache.clear()
+            if word.isalpha():
+                entry = (Term(W, word),)
+            elif len(word) > 2 and word[0] == "[" and word[-1] == "]":
+                entry = (Term(E, word[1:-1].lower()),)
+            else:
+                entry = tuple(split_word(word))
+            cache[word] = entry
+        extend(entry)
     return terms
 
 
-# Memo for the FSM path of ``tokenize_turn`` (identical output: Terms are
-# immutable and ``split_word`` is a pure function of the word). Natural
-# token distributions are Zipfian, so "word," / "word." style tokens repeat
-# constantly — profiled ~40% of per-turn parse CPU goes to the FSM regex,
-# most of it on repeats. Per-executor-process dict, bounded: distinct
-# punctuated tokens are unbounded at corpus scale (URLs, typos), so the
-# cache clears when full rather than growing with the corpus.
+# Unified word -> Term-tuple memo for ``tokenize_turn`` (identical output:
+# Terms are immutable, and all three branches — alpha word, bracket entity,
+# FSM split — are pure functions of the word). Natural token distributions
+# are Zipfian, so tokens repeat constantly; one dict probe replaces the
+# isalpha/bracket tests AND the FSM regex on every repeat (profiled ~40% of
+# per-turn parse CPU went to the FSM, most of it on repeats). Per-executor-
+# process dict, bounded: distinct tokens are unbounded at corpus scale
+# (URLs, typos), so the cache clears when full rather than growing with the
+# corpus. (A lemma cache in scan_frames measured neutral — dict overhead
+# ~= str.lower() — and was dropped.)
 _SPLIT_CACHE: dict[str, tuple[Term, ...]] = {}
-# interned word Terms (same rationale + bound; a lemma cache in scan_frames
-# measured neutral — dict overhead ~= str.lower() — and was dropped)
-_WORD_TERM_CACHE: dict[str, "Term"] = {}
 _SPLIT_CACHE_MAX = 1 << 17
 
 
@@ -170,14 +163,30 @@ def scan_frames(terms: list[Term], variants: dict[str, str],
         return terms
     if first_tokens is None:
         first_tokens = first_token_index(variants)
-    if lemma_fn is None:
-        lemmas = [t.text.lower() if t.kind == W else None for t in terms]
-    else:
-        lemmas = [lemma_fn(t.text) if t.kind == W else None for t in terms]
     out: list[Term] = []
     start = 0
     n = len(terms)
+    # the full lemma list is built LAZILY, on the first candidate position:
+    # most turns contain no lexicon first-token at all, and for them the
+    # whole-list allocation (profiled ~15% of parse CPU) never happens —
+    # identical output, since non-candidate positions only ever need their
+    # own lemma, computed inline below
+    lemmas: list[str | None] | None = None
     while start < n:
+        if lemmas is None:
+            t = terms[start]
+            if t.kind != W or (
+                    (t.text.lower() if lemma_fn is None
+                     else lemma_fn(t.text)) not in first_tokens):
+                out.append(t)
+                start += 1
+                continue
+            if lemma_fn is None:
+                lemmas = [t.text.lower() if t.kind == W else None
+                          for t in terms]
+            else:
+                lemmas = [lemma_fn(t.text) if t.kind == W else None
+                          for t in terms]
         if lemmas[start] is None or lemmas[start] not in first_tokens:
             out.append(terms[start])
             start += 1
