@@ -69,7 +69,38 @@ def ngram_jaccard_pairs(documents: DataFrame, n: int = 3,
     """(doc_a, doc_b, inter_size, size_a, size_b) for pairs with
     Jaccard >= threshold over word n-gram shingle SETS. Exact sizes are
     integers; the float threshold is applied via cross-multiplication
-    (inter * (1+t') >= t' * union scaled by 10^6) to stay integer-exact."""
+    (inter * (1+t') >= t' * union scaled by 10^6) to stay integer-exact.
+
+    With ``candidates`` (the LSH prefilter), the verify step joins each
+    candidate PAIR to the two docs' aggregated shingle sets and intersects
+    them with codegen ``array_intersect`` — cost ∝ candidates × shingles-
+    per-doc. (A left-semi filter over the shingle-shingle self-join cannot
+    do this: its condition needs doc ids from BOTH sides, so it can only
+    apply above the join, after the full co-shingle pair enumeration —
+    quadratic in the frequency of common shingles at corpus scale.)
+    Without candidates (exact mode), the full shingle equi-join runs —
+    exact recall, quadratic worst case, small corpora only."""
+    t_num = int(round(threshold * 1_000_000))
+    # jaccard = inter / (size_a + size_b - inter) >= t  (integer-exact)
+    keep = (F.col("inter_size") * 1_000_000
+            >= F.lit(t_num) * (F.col("size_a") + F.col("size_b")
+                               - F.col("inter_size")))
+    if candidates is not None:
+        sets = (shingles(documents, n)
+                .groupBy("doc_id")
+                .agg(F.collect_set("shingle").alias("shs")))
+        a = sets.select(F.col("doc_id").alias("doc_a"),
+                        F.col("shs").alias("shs_a"))
+        b = sets.select(F.col("doc_id").alias("doc_b"),
+                        F.col("shs").alias("shs_b"))
+        out = (candidates.join(a, "doc_a").join(b, "doc_b")
+               .select("doc_a", "doc_b",
+                       F.size(F.array_intersect("shs_a", "shs_b"))
+                       .cast("long").alias("inter_size"),
+                       F.size("shs_a").cast("long").alias("size_a"),
+                       F.size("shs_b").cast("long").alias("size_b")))
+        return out.filter(keep).select("doc_a", "doc_b", "inter_size",
+                                       "size_a", "size_b")
     # the distinct shingle set feeds three plan branches (sizes + both join
     # sides) — materialize once
     sh = shingles(documents, n).distinct().localCheckpoint(eager=False)
@@ -78,25 +109,15 @@ def ngram_jaccard_pairs(documents: DataFrame, n: int = 3,
     b = sh.alias("b")
     joined = a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
                     & (F.col("a.doc_id") < F.col("b.doc_id")))
-    if candidates is not None:
-        joined = joined.join(
-            candidates,
-            (F.col("a.doc_id") == candidates["doc_a"])
-            & (F.col("b.doc_id") == candidates["doc_b"]), "left_semi")
     inter = (joined
              .groupBy(F.col("a.doc_id").alias("doc_a"),
                       F.col("b.doc_id").alias("doc_b"))
              .agg(F.count("*").cast("long").alias("inter_size")))
-    t_num = int(round(threshold * 1_000_000))
     out = (inter
            .join(sizes.withColumnRenamed("doc_id", "doc_a")
                       .withColumnRenamed("sz", "size_a"), "doc_a")
            .join(sizes.withColumnRenamed("doc_id", "doc_b")
                       .withColumnRenamed("sz", "size_b"), "doc_b"))
-    # jaccard = inter / (size_a + size_b - inter) >= t  (integer-exact)
-    keep = (F.col("inter_size") * 1_000_000
-            >= F.lit(t_num) * (F.col("size_a") + F.col("size_b")
-                               - F.col("inter_size")))
     return out.filter(keep).select("doc_a", "doc_b", "inter_size",
                                    "size_a", "size_b")
 
