@@ -1341,3 +1341,28 @@ LEFT JOIN comp cs ON cs.node = d.s_group
 LEFT JOIN comp ct ON ct.node = d.t_group
 GROUP BY 1, 2, 3
 ORDER BY 1, 2, 3"""
+
+
+def opinion_rollup_first_sql(transcripts_path: str, synonyms_path: str,
+                             seed_path: str, frames_lex,
+                             negation_words: tuple[str, ...]) -> str:
+    """A1 FIRST_APPEARED over the frame-labeled deduped triples
+    (``single.py:6-14``): the label of the first text opinion in linkage
+    order — re-derived deterministically as (priority, s_ent_id, t_ent_id)
+    — per synonym pair."""
+    base = triples_frames_sql(transcripts_path, synonyms_path, seed_path,
+                              frames_lex, negation_words)
+    prefix = base.split("\nSELECT conv_id, turn_idx, s_ent_id")[0]
+    return prefix + """,
+linked AS (
+  SELECT conv_id, s_group, t_group, label,
+         ROW_NUMBER() OVER (PARTITION BY conv_id, s_group, t_group
+                            ORDER BY priority, s_ent_id, t_ent_id) AS lrn,
+         COUNT(*) OVER (PARTITION BY conv_id, s_group, t_group)
+           AS n_contexts
+  FROM deduped
+)
+SELECT conv_id, s_group, t_group, label,
+       CAST(n_contexts AS BIGINT) AS n_contexts
+FROM linked WHERE lrn = 1
+ORDER BY conv_id, s_group, t_group"""

@@ -309,6 +309,20 @@ def q_kg_opinion_rollup(spark, sf_dir):
         "conv_id", "s_group", "t_group", "label", "n_contexts")
 
 
+def q_kg_opinion_rollup_first(spark, sf_dir):
+    """A1 FIRST_APPEARED over the frame-labeled triples
+    (``SingleLabelsHelper.aggregate_labels``, single.py:6-14): doc-level
+    label = the first text opinion in linkage order — deterministically
+    (priority, s_ent_id, t_ent_id) — exercising the other aggregation mode
+    of the reference on the same multi-class inputs as kg_opinion_rollup."""
+    from .operators.aggregate import FIRST_APPEARED, linkages_to_opinions
+    _, inputs = _kg(spark, sf_dir)
+    res = build_triple_pipeline(spark, inputs, PipelineConfig(),
+                                persist=False)
+    return linkages_to_opinions(res.text_opinions, FIRST_APPEARED).select(
+        "conv_id", "s_group", "t_group", "label", "n_contexts")
+
+
 def q_kg_samples(spark, sf_dir):
     """EP2 sample serialization (T9/T10 #S/#O/#E masking, entity columns,
     content-derived ids) in no-frames mode, value-hash checked against a
@@ -668,6 +682,7 @@ def registry() -> dict:
         "eval_context_prf": q_eval_context_prf,
         "kg_balanced_counts": q_kg_balanced_counts,
         "kg_canonical_edges": q_kg_canonical_edges,
+        "kg_opinion_rollup_first": q_kg_opinion_rollup_first,
     }
 
 
@@ -726,6 +741,8 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict:
                 os.path.join(data_dir, "entity_types.json"))),
         "kg_canonical_edges": duck.canonical_edges_sql(
             tr, syn, seed, os.path.join(data_dir, "aliases.parquet")),
+        "kg_opinion_rollup_first": duck.opinion_rollup_first_sql(
+            tr, syn, seed, frames_lex, NEGATION_WORDS),
     }
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     if os.path.exists(emb_path):
