@@ -196,11 +196,27 @@ def build_samples(triples_pos: DataFrame, parsed_terms: DataFrame,
     return j.select(*cols)
 
 
-def balance_by_label(samples: DataFrame, seed: int = 42) -> DataFrame:
+def balance_by_label(samples: DataFrame, seed: int = 42,
+                     bucket_bits: int = 6) -> DataFrame:
     """A3 — oversample every label class to the majority size
     (``PandasBasedRowsStorage._balance``, ``pandas_based.py:63-79``), made
     deterministic: each row is repeated ceil/floor-deterministically via a
-    content hash instead of RNG sampling."""
+    content hash instead of RNG sampling (per class, the first
+    ``majority % n`` rows in hash order repeat once more, so the class
+    total is EXACTLY the majority size).
+
+    Scale shape: the per-class hash rank is computed TWO-PHASE, never as a
+    global per-label window (label cardinality is tiny, so
+    ``Window.partitionBy(label)`` would funnel the whole corpus into a
+    handful of tasks). Rows bucket by the TOP ``bucket_bits`` bits of the
+    signed rank hash — a monotone function of the hash, so
+    (bucket, hash) order == global hash order and the selection is
+    identical to the single-window formulation; per-bucket counts
+    (labels x 2^bucket_bits rows, metadata-sized) prefix-sum into bucket
+    rank offsets, and the in-bucket window is bounded by
+    ~corpus / (labels * 2^bucket_bits) rows. Raise ``bucket_bits`` with
+    corpus size."""
+    from pyspark.sql import Window
     counts = samples.groupBy("label").agg(F.count("*").alias("n"))
     mx = counts.agg(F.max("n").alias("mx"))
     plan = counts.crossJoin(mx).select(
@@ -208,13 +224,28 @@ def balance_by_label(samples: DataFrame, seed: int = 42) -> DataFrame:
         (F.col("mx") / F.col("n")).alias("ratio"),
         ((F.col("mx") % F.col("n"))).alias("rem"),
         F.col("n"))
-    s = samples.join(F.broadcast(plan), "label")
-    # deterministic per-row rank within its class by content hash
-    from pyspark.sql import Window
-    w = Window.partitionBy("label").orderBy(F.xxhash64("id", F.lit(seed)))
-    s = s.withColumn("__rk", F.row_number().over(w) - 1)
+    s = (samples.join(F.broadcast(plan), "label")
+         .withColumn("__h", F.xxhash64("id", F.lit(seed)))
+         .withColumn("__b", F.shiftright(F.col("__h"), 64 - bucket_bits)
+                     .cast("int")))
+    # phase 1: per-(label, bucket) counts -> exclusive prefix sum of rank
+    # offsets; this window runs over the tiny bucket-count table only
+    bcounts = s.groupBy("label", "__b").agg(F.count("*").alias("__bn"))
+    wp = (Window.partitionBy("label")  # tiny: labels x 2^bits count table
+          .orderBy("__b")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    prefix = bcounts.select(
+        "label", "__b",
+        F.coalesce(F.sum("__bn").over(wp), F.lit(0)).alias("__pfx"))
+    # phase 2: in-bucket rank (id tiebreak makes hash collisions
+    # deterministic too) + bucket offset = exact global per-class rank
+    s = s.join(F.broadcast(prefix), ["label", "__b"])
+    wb = Window.partitionBy("label", "__b").orderBy("__h", "id")
+    s = s.withColumn("__rk",
+                     F.col("__pfx") + F.row_number().over(wb) - 1)
     reps = (F.floor("ratio")
             + F.when(F.col("__rk") < F.col("rem"), 1).otherwise(0))
     return (s.withColumn("__rep", F.explode(F.sequence(F.lit(1),
                                                        reps.cast("int"))))
-            .drop("ratio", "rem", "n", "__rk", "__rep"))
+            .drop("ratio", "rem", "n", "__h", "__b", "__pfx", "__rk",
+                  "__rep"))

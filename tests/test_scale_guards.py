@@ -43,6 +43,17 @@ def test_no_global_windows():
     assert _grep(r"Window\s*\.\s*orderBy") == []
 
 
+def test_no_label_only_window_partitions():
+    # a window partitioned by a tiny-cardinality key alone (e.g. the 3-class
+    # label) funnels the whole corpus into a handful of tasks — per-class
+    # ranks must be two-phase bucketed (see samples.balance_by_label).
+    # A `# tiny:` site annotation allowlists windows over metadata-sized
+    # inputs (bucket-count tables and the like), documenting why in place.
+    hits = [h for h in _grep(r"partitionBy\(\s*['\"]label['\"]\s*\)")
+            if "# tiny:" not in h]
+    assert hits == []
+
+
 def test_no_monotonically_increasing_id():
     assert _grep(r"monotonically_increasing_id") == []
 
