@@ -311,3 +311,14 @@ reach(node, root) AS (
 SELECT CAST(node AS BIGINT) AS doc_id,
        CAST(MIN(root) AS BIGINT) AS cluster_id
 FROM reach GROUP BY node"""
+
+DOC_SQL["multimodal_frame_sample"] = """
+-- constant 700 ms frame grid up to the max derivable duration (9*1500+500),
+-- joined on ts <= duration-1 (DuckDB's generate_series takes no lateral
+-- column parameters); identical row set to Spark's per-row sequence()
+SELECT CAST(d.doc_id AS BIGINT) AS media_id,
+       CAST(s.g AS BIGINT) AS frame_ts_ms
+FROM documents d
+JOIN (SELECT generate_series AS g FROM generate_series(0, 13300, 700)) s
+  ON s.g <= greatest(((d.doc_id % 10) * 1500 + 500) - 1, 0)
+WHERE d.doc_id % 3 = 2"""

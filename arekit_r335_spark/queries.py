@@ -384,6 +384,27 @@ def q_multimodal_features(spark, sf_dir):
                         "sha256", sig)
 
 
+def q_multimodal_frame_sample(spark, sf_dir):
+    """Video frame-sampling plan, hash-checked: media metadata derives
+    deterministically from ``documents`` (duration from doc_id), and
+    ``frame_sample_plan`` explodes one row per (media_id, frame_ts_ms) at a
+    700 ms stride — the pure-relational half of video processing (the
+    per-frame decode is the honestly-stubbed kernel). The explode is the
+    scale shape: no UDF, no shuffle — frame rows materialize in the scan
+    stage and carry ~16 B each."""
+    from .functions.multimodal import frame_sample_plan
+    docs = _read(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+                     (F.col("doc_id") % 3).cast("int") + 1).alias("kind"),
+        ((F.col("doc_id") % 10) * 1500 + 500).cast("int")
+        .alias("duration_ms"))
+    return (frame_sample_plan(media, every_ms=700)
+            .select(F.col("media_id").cast("long").alias("media_id"),
+                    F.col("frame_ts_ms").cast("long").alias("frame_ts_ms")))
+
+
 def q_doc_token_stats(spark, sf_dir):
     from .functions.text_analysis import token_stats
     return token_stats(_read(spark, sf_dir, "documents"))
@@ -683,6 +704,7 @@ def registry() -> dict:
         "kg_balanced_counts": q_kg_balanced_counts,
         "kg_canonical_edges": q_kg_canonical_edges,
         "kg_opinion_rollup_first": q_kg_opinion_rollup_first,
+        "multimodal_frame_sample": q_multimodal_frame_sample,
     }
 
 

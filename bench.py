@@ -257,13 +257,23 @@ def main() -> None:
         # bandwidth scaling), since one shared memory controller is the one
         # resource a single-host substitute cannot scale 4x — a real N->4N
         # executor scale-up multiplies per-node DRAM.
-        # more iterations at higher parallelism: short runs are more exposed
-        # to host-noise windows (min-of-N is the estimator; each extra
-        # iteration at local[32] costs ~20s)
+        # INTERLEAVED passes: this host's effective bandwidth drifts +/-25%
+        # on a ~30-45 min timescale (measured via identical-binary reruns),
+        # which is longer than one level but shorter than a sequential
+        # 3-level protocol — running all levels per pass and taking the
+        # per-level best brackets the drift across levels instead of letting
+        # it load one level's denominator.
         levels = {}
-        for c, it in ((2, 2), (8, 4), (32, 5)):
-            levels[c] = flagship_wall(c, scale_dir, warm, iters=it,
-                                      max_iters=it + 2)
+        raw_passes = []
+        for _p in range(2):
+            row = {}
+            for c in (2, 8, 32):
+                row[c] = flagship_wall(c, scale_dir, warm, iters=1,
+                                       max_iters=3)
+            raw_passes.append(row)
+        for c in (2, 8, 32):
+            levels[c] = min((r[c] for r in raw_passes),
+                            key=lambda v: v["sec"])
             levels[c]["turns_per_sec"] = round(scale_turns / levels[c]["sec"], 1)
         bw = {c: round(membw_gbps(c), 1) for c in (2, 8, 32)}
 
@@ -285,10 +295,15 @@ def main() -> None:
                           "host_copy_bw_scaling": round(bw[32] / (4 * bw[8]), 3)},
             },
             "host_copy_bw_gbps": {str(c): v for c, v in bw.items()},
-            "protocol": "each level = fresh subprocess pinned to that many "
-                        "CPUs (sched_setaffinity pre-JVM), warm-up run + "
-                        "best of >=2 timed runs with <5% steal; identical "
-                        "input and job at every level",
+            "passes_sec": [{str(c): round(r[c]["sec"], 2) for c in r}
+                           for r in raw_passes],
+            "protocol": "two interleaved passes over (2, 8, 32) cores, "
+                        "best per level; each level = fresh subprocess "
+                        "pinned to that many CPUs (sched_setaffinity "
+                        "pre-JVM), warm-up run + timed runs with <5% "
+                        "steal; identical input and job at every level; "
+                        "interleaving brackets the host's ~30-45 min "
+                        "bandwidth-drift windows across all levels",
         }
         with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
             json.dump(scaling_out, f, indent=1)
