@@ -322,3 +322,28 @@ FROM documents d
 JOIN (SELECT generate_series AS g FROM generate_series(0, 13300, 700)) s
   ON s.g <= greatest(((d.doc_id % 10) * 1500 + 500) - 1, 0)
 WHERE d.doc_id % 3 = 2"""
+
+# capstone: the end-to-end training-data curation pass — quality gate +
+# language gate + exact-dedup canonical + near-dup cluster representative,
+# composed from the SAME individually-checked CTE bodies (nested WITHs are
+# plain subqueries to DuckDB). Every predicate is integer-exact.
+DOC_SQL["corpus_select"] = f"""
+WITH q AS ({DOC_SQL['doc_quality']}),
+l AS ({DOC_SQL['doc_langid']}),
+e AS ({DOC_SQL['dedup_exact']}),
+c AS ({DOC_SQL['dedup_clusters']}),
+nm AS (SELECT doc_id, md5({_NORM}) AS text_key FROM documents)
+SELECT d.doc_id, l.pred_lang, q.n_tokens
+FROM documents d
+JOIN q ON q.doc_id = d.doc_id
+JOIN l ON l.doc_id = d.doc_id
+JOIN nm ON nm.doc_id = d.doc_id
+JOIN e ON e.text_key = nm.text_key
+LEFT JOIN c ON c.doc_id = d.doc_id
+WHERE q.n_tokens >= 10
+  AND q.stop_hits * 20 >= q.n_tokens
+  AND q.digit_tokens * 2 <= q.n_tokens
+  AND l.pred_lang = 'en'
+  AND e.canonical_doc_id = d.doc_id
+  AND (c.doc_id IS NULL OR c.cluster_id = d.doc_id)
+ORDER BY d.doc_id"""

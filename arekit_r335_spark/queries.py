@@ -565,6 +565,43 @@ def q_dedup_clusters(spark, sf_dir):
                        F.col("component").cast("long").alias("cluster_id"))
 
 
+def q_corpus_select(spark, sf_dir):
+    """Capstone: the end-to-end training-data CURATION pass a 100 TB corpus
+    runs before tokenization — quality gate (length / stopword / digit
+    ratios, integer-exact), language gate (n-gram marker argmax), exact
+    dedup (keep the canonical doc of each md5(norm) group), and near-dup
+    dedup (keep only each Jaccard-cluster's representative) — composed
+    from the individually oracle-checked operators into ONE plan.
+
+    Scale shape: every per-doc signal joins on doc_id (one co-partitioned
+    key); the exact-dedup join keys on text_key (its own map-side-combined
+    aggregation); the near-dup cluster table is sparse (only docs in ≥1
+    qualifying pair) and left-joins without expansion. No UDFs anywhere."""
+    from .functions.dedup import exact_dup_groups
+    from .functions.text_analysis import (langid_scores, norm_text,
+                                          quality_signals)
+    docs = _read(spark, sf_dir, "documents")
+    q = quality_signals(docs).select("doc_id", "n_tokens", "stop_hits",
+                                     "digit_tokens")
+    lang = langid_scores(docs).select("doc_id", "pred_lang")
+    exact = exact_dup_groups(docs)
+    clusters = q_dedup_clusters(spark, sf_dir)
+    keyed = docs.select("doc_id",
+                        F.md5(norm_text(F.col("text"))).alias("text_key"))
+    out = (keyed.join(q, "doc_id").join(lang, "doc_id")
+           .join(exact, "text_key")
+           .join(clusters, "doc_id", "left")
+           .filter((F.col("n_tokens") >= 10)
+                   & (F.col("stop_hits") * 20 >= F.col("n_tokens"))
+                   & (F.col("digit_tokens") * 2 <= F.col("n_tokens"))
+                   & (F.col("pred_lang") == "en")
+                   & (F.col("canonical_doc_id") == F.col("doc_id"))
+                   & (F.col("cluster_id").isNull()
+                      | (F.col("cluster_id") == F.col("doc_id")))))
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      "pred_lang", "n_tokens")
+
+
 def q_folding_assign(spark, sf_dir):
     """C3 splitter analog: deterministic 5-fold assignment by md5 hash-mod —
     fully distributed (the prior ntile-over-global-order formulation moved
@@ -705,6 +742,7 @@ def registry() -> dict:
         "kg_canonical_edges": q_kg_canonical_edges,
         "kg_opinion_rollup_first": q_kg_opinion_rollup_first,
         "multimodal_frame_sample": q_multimodal_frame_sample,
+        "corpus_select": q_corpus_select,
     }
 
 
