@@ -145,6 +145,48 @@ def simhash(documents: DataFrame, bits: int = 32) -> DataFrame:
     return votes.select("doc_id", sim.cast("long").alias("simhash"))
 
 
+def simhash_near_pairs(documents: DataFrame, bits: int = 32,
+                       bands: int = 4,
+                       max_hamming: int = 3) -> DataFrame:
+    """(doc_a, doc_b, hamming) — SimHash near-duplicate SEARCH, the shape
+    SimHash is actually used in at corpus scale: signatures band into
+    ``bands`` bit-slices; docs sharing any band bucket become candidates
+    (equi-join — never an all-pairs cross join); exact Hamming distance via
+    codegen xor+bit_count verifies. By pigeonhole, any pair with
+    hamming < bands shares at least one intact band, so recall is EXACT
+    for ``max_hamming <= bands - 1`` (the default); larger thresholds
+    degrade recall per the banding, matching the documented LSH trade-off."""
+    width = bits // bands
+    sig = simhash(documents, bits)
+    band_cols = [
+        F.struct(F.lit(b).alias("band"),
+                 F.shiftright(F.col("simhash"), b * width)
+                 .bitwiseAND((1 << width) - 1).alias("key"))
+        for b in range(bands)]
+    banded = (sig.select("doc_id",
+                         F.explode(F.array(*band_cols)).alias("bk"))
+              .select("doc_id", F.col("bk.band").alias("band"),
+                      F.col("bk.key").alias("key"))
+              .localCheckpoint(eager=False))
+    cand = (banded.alias("a")
+            .join(banded.alias("b"),
+                  (F.col("a.band") == F.col("b.band"))
+                  & (F.col("a.key") == F.col("b.key"))
+                  & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+    sa = sig.select(F.col("doc_id").alias("doc_a"),
+                    F.col("simhash").alias("sim_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"),
+                    F.col("simhash").alias("sim_b"))
+    out = (cand.join(sa, "doc_a").join(sb, "doc_b")
+           .select("doc_a", "doc_b",
+                   F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+                   .cast("long").alias("hamming")))
+    return out.filter(F.col("hamming") <= max_hamming)
+
+
 def dims_for_corpus(n_rows: int, target_bucket_rows: int = 256,
                     max_dims: int = 20) -> int:
     """Sign-bucket dimension count scaled with the corpus — the same log2

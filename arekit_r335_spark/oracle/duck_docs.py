@@ -347,3 +347,26 @@ WHERE q.n_tokens >= 10
   AND e.canonical_doc_id = d.doc_id
   AND (c.doc_id IS NULL OR c.cluster_id = d.doc_id)
 ORDER BY d.doc_id"""
+
+# SimHash near-pair search: band the 32-bit signature into 4 byte-slices,
+# candidates share a band bucket, exact Hamming via xor+bit_count (mirrors
+# functions/dedup.simhash_near_pairs; recall exact for hamming <= 3)
+DOC_SQL["dedup_simhash_pairs"] = f"""
+WITH sim AS ({_simhash_sql(32)}),
+sbanded AS (
+  SELECT doc_id, 0 AS band, (simhash >> 0) & 255 AS key FROM sim
+  UNION ALL SELECT doc_id, 1, (simhash >> 8) & 255 FROM sim
+  UNION ALL SELECT doc_id, 2, (simhash >> 16) & 255 FROM sim
+  UNION ALL SELECT doc_id, 3, (simhash >> 24) & 255 FROM sim
+),
+scand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sbanded a JOIN sbanded b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+FROM scand c
+JOIN sim sa ON sa.doc_id = c.doc_a
+JOIN sim sb ON sb.doc_id = c.doc_b
+WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3"""

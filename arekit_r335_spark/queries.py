@@ -463,6 +463,14 @@ def q_dedup_simhash(spark, sf_dir):
     return simhash(_read(spark, sf_dir, "documents"))
 
 
+def q_dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-duplicate SEARCH (banded bit-slices -> bucket equi-join
+    -> exact xor+bit_count Hamming verify). Recall is exact for the
+    hamming<=3 default by pigeonhole over 4 bands."""
+    from .functions.dedup import simhash_near_pairs
+    return simhash_near_pairs(_read(spark, sf_dir, "documents"))
+
+
 def q_dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-dup pairs: sign-bucket prefilter on the leading
     dims prunes the self-join, exact cosine on survivors. The bucket-dim
@@ -743,6 +751,7 @@ def registry() -> dict:
         "kg_opinion_rollup_first": q_kg_opinion_rollup_first,
         "multimodal_frame_sample": q_multimodal_frame_sample,
         "corpus_select": q_corpus_select,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
     }
 
 
