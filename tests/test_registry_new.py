@@ -28,6 +28,38 @@ def test_balance_deterministic(spark):
     assert a == b
 
 
+def test_balance_two_phase_equals_global_window(spark):
+    """The two-phase bucketed rank must reproduce the single-window
+    formulation byte-for-byte: bucketing by the TOP bits of the rank hash
+    is monotone in the hash, so (bucket, hash) order == global hash order
+    and the oversample selection is identical."""
+    from pyspark.sql import Window
+    from arekit_r335_spark.operators.samples import balance_by_label
+    from arekit_r335_spark.queries import q_kg_samples
+
+    def global_window_balance(samples, seed=42):
+        counts = samples.groupBy("label").agg(F.count("*").alias("n"))
+        mx = counts.agg(F.max("n").alias("mx"))
+        plan = counts.crossJoin(mx).select(
+            "label", (F.col("mx") / F.col("n")).alias("ratio"),
+            ((F.col("mx") % F.col("n"))).alias("rem"))
+        s = samples.join(F.broadcast(plan), "label")
+        w = Window.partitionBy("label").orderBy(F.xxhash64("id",
+                                                           F.lit(seed)))
+        s = s.withColumn("__rk", F.row_number().over(w) - 1)
+        reps = (F.floor("ratio")
+                + F.when(F.col("__rk") < F.col("rem"), 1).otherwise(0))
+        return (s.withColumn("__rep",
+                             F.explode(F.sequence(F.lit(1),
+                                                  reps.cast("int"))))
+                .drop("ratio", "rem", "__rk", "__rep"))
+
+    s = q_kg_samples(spark, "/root/testdata/sf0.001")
+    ref = sorted(map(tuple, global_window_balance(s).collect()))
+    got = sorted(map(tuple, balance_by_label(s).collect()))
+    assert ref == got
+
+
 def test_canonical_edges_alias_collapse(spark):
     """Every doc opinion whose endpoint group is alias-connected must be
     re-pointed at the component id; endpoints never keep a group key that
