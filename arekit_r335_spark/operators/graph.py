@@ -1,0 +1,149 @@
+"""Graph analytics over the materialized knowledge graph.
+
+The north rule asks for an *analyzable* graph, not just a triple dump: once
+the canonical edge table exists (``queries.q_kg_canonical_edges``), the
+standard KG-health questions are degree profiles (hub detection), entity
+co-occurrence (which canonical entities share documents, the input to PMI /
+edge-weighting schemes), and triangle enumeration (clustering structure,
+community seeds).  The reference stops at opinion collections
+(``arekit/common/opinions/collection.py``) — this layer is the
+scale-motivated extension over its output.
+
+Scale notes (100 TB):
+
+* ``node_degrees`` is two map-side-combinable aggregations over the edge
+  table plus a full outer join on the node id — no skew risk beyond the
+  hubs themselves, and hub rows are single aggregate outputs.
+* ``conv_entity_sets`` / ``cooccurrence`` co-occurrence is quadratic *per
+  conversation* in the number of distinct canonical entities, not in corpus
+  size; the self-join shuffles once on ``conv_id`` (the same key every
+  upstream KG stage partitions by, so AQE reuses the exchange).  A
+  ``max_entities_per_conv`` guard drops degenerate documents (an entity
+  directory page mentioning 10k entities would otherwise emit 50M pairs).
+* ``triangles`` uses the degree-ordered orientation (Schank/Wagner; the
+  MapReduce formulation is Suri & Vassilvitskii, WWW'11): every edge is
+  directed from its lower-(degree, id) endpoint to the higher one, wedges
+  are enumerated by self-joining on the low endpoint, and a left-semi join
+  against the oriented edge set closes them.  Orienting by degree bounds
+  per-vertex wedge fan-out by O(sqrt(m)) instead of max-degree**2 — the
+  difference between a tractable and an impossible shuffle when hubs exist.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def node_degrees(edges: DataFrame) -> DataFrame:
+    """Per-node in/out degree (distinct neighbors) and opinion mass over the
+    canonical edge table ``(src, dst, label, n_ops)``."""
+    # both degree directions scan the edge table: materialize its (possibly
+    # deep) derivation once
+    edges = edges.localCheckpoint(eager=False)
+    out = edges.groupBy(F.col("src").alias("node")).agg(
+        F.countDistinct("dst").cast("long").alias("out_deg"),
+        F.sum("n_ops").cast("long").alias("n_out_ops"))
+    inn = edges.groupBy(F.col("dst").alias("node")).agg(
+        F.countDistinct("src").cast("long").alias("in_deg"),
+        F.sum("n_ops").cast("long").alias("n_in_ops"))
+    return (out.join(inn, "node", "full")
+            .select("node",
+                    F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+                    F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+                    F.coalesce("n_out_ops", F.lit(0)).alias("n_out_ops"),
+                    F.coalesce("n_in_ops", F.lit(0)).alias("n_in_ops")))
+
+
+def conv_entity_sets(mentions: DataFrame, comps: DataFrame,
+                     max_entities_per_conv: int | None = None) -> DataFrame:
+    """Distinct (conv_id, canon) pairs: each conversation's canonical entity
+    set.  ``comps`` is the alias connected-component map (node, component),
+    dictionary-sized, so the re-pointing join broadcasts."""
+    cmap = comps.select(F.col("node").alias("group_key"), "component")
+    ents = (mentions.join(F.broadcast(cmap), "group_key", "left")
+            .select("conv_id",
+                    F.coalesce("component", F.col("group_key")).alias("canon"))
+            .distinct())
+    if max_entities_per_conv is not None:
+        per = ents.groupBy("conv_id").agg(F.count("*").alias("__n"))
+        keep = per.filter(F.col("__n") <= max_entities_per_conv) \
+                  .select("conv_id")
+        ents = ents.join(keep, "conv_id", "left_semi")
+    # downstream cooccurrence references the entity sets four times
+    # (frequency join, both pair sides, corpus total): run the parse +
+    # component subtree once
+    return ents.localCheckpoint(eager=False)
+
+
+def cooccurrence(ents: DataFrame) -> DataFrame:
+    """Entity co-occurrence with lift.  ``ents`` is distinct
+    (conv_id, canon).  Output one row per unordered canonical pair that
+    shares >= 1 conversation: (e_a, e_b, n_pair, n_a, n_b, n_convs, lift)
+    with e_a < e_b and lift = n_pair * n_convs / (n_a * n_b)."""
+    pc = ents.groupBy("canon").agg(F.count("*").cast("long").alias("n_node"))
+    ents_n = ents.join(pc, "canon")
+    a = ents_n.select("conv_id", F.col("canon").alias("e_a"),
+                      F.col("n_node").alias("n_a"))
+    b = ents_n.select("conv_id", F.col("canon").alias("e_b"),
+                      F.col("n_node").alias("n_b"))
+    pairs = (a.join(b, "conv_id")
+             .filter(F.col("e_a") < F.col("e_b"))
+             .groupBy("e_a", "e_b")
+             .agg(F.count("*").cast("long").alias("n_pair"),
+                  F.first("n_a").alias("n_a"),
+                  F.first("n_b").alias("n_b")))
+    total = ents.agg(
+        F.countDistinct("conv_id").cast("long").alias("n_convs"))
+    return (pairs.crossJoin(F.broadcast(total))
+            .withColumn("lift",
+                        (F.col("n_pair") * F.col("n_convs"))
+                        / (F.col("n_a") * F.col("n_b"))))
+
+
+def triangles(und: DataFrame) -> DataFrame:
+    """Enumerate every triangle of an undirected simple graph exactly once.
+
+    ``und`` holds one row per undirected edge as (u, v); duplicates and
+    orientation are normalized here.  Degree-ordered orientation: each edge
+    points from its lower (degree, id) endpoint to the higher one, so every
+    triangle has exactly one vertex with out-degree 2 within it (the wedge
+    apex) and is produced exactly once by the wedge self-join + closing
+    left-semi join.  Returns (a, b, c) with a < b < c lexicographically.
+    """
+    und = (und.select(F.least("u", "v").alias("u"),
+                      F.greatest("u", "v").alias("v"))
+           .filter(F.col("u") != F.col("v"))
+           .distinct()
+           # referenced twice for degrees + once per join side: cut the
+           # plan here so the (possibly deep) edge derivation runs once
+           .localCheckpoint(eager=False))
+    deg = (und.select(F.col("u").alias("node"))
+           .unionAll(und.select(F.col("v").alias("node")))
+           .groupBy("node").agg(F.count("*").alias("deg")))
+    e = (und
+         .join(deg.withColumnRenamed("node", "u")
+               .withColumnRenamed("deg", "du"), "u")
+         .join(deg.withColumnRenamed("node", "v")
+               .withColumnRenamed("deg", "dv"), "v"))
+    lt = F.struct(F.col("du"), F.col("u")) < F.struct(F.col("dv"), F.col("v"))
+    # lo -> hi in (degree, id) order; hr carries hi's rank for wedge dedup
+    o = e.select(
+        F.when(lt, F.col("u")).otherwise(F.col("v")).alias("lo"),
+        F.when(lt, F.col("v")).otherwise(F.col("u")).alias("hi"),
+        F.when(lt, F.struct(F.col("dv").alias("d"), F.col("v").alias("n")))
+         .otherwise(F.struct(F.col("du").alias("d"),
+                             F.col("u").alias("n"))).alias("hr"))
+    # the oriented edge list feeds both wedge sides and the closing
+    # semi-join — materialize once
+    o = o.localCheckpoint(eager=False)
+    e1, e2 = o.alias("e1"), o.alias("e2")
+    wedges = (e1.join(e2, "lo")
+              .filter(F.col("e1.hr") < F.col("e2.hr"))
+              .select(F.col("lo").alias("a0"),
+                      F.col("e1.hi").alias("b0"),
+                      F.col("e2.hi").alias("c0")))
+    closed = wedges.join(
+        o.select(F.col("lo").alias("b0"), F.col("hi").alias("c0")),
+        ["b0", "c0"], "left_semi")
+    t = F.array_sort(F.array("a0", "b0", "c0"))
+    return closed.select(t[0].alias("a"), t[1].alias("b"), t[2].alias("c"))

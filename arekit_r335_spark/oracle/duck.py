@@ -1366,3 +1366,128 @@ SELECT conv_id, s_group, t_group, label,
        CAST(n_contexts AS BIGINT) AS n_contexts
 FROM linked WHERE lrn = 1
 ORDER BY conv_id, s_group, t_group"""
+
+
+def _cooccurrence_ctes(transcripts_path: str, synonyms_path: str,
+                       aliases_path: str) -> str:
+    """Shared CTE chain for the graph-analytics oracles: per-conversation
+    canonical entity sets (alias connected components applied to synonym
+    group keys) -> unordered co-occurrence pairs with node frequencies."""
+    w = "u.word"
+    return f"""
+WITH RECURSIVE
+ment AS (
+  SELECT conv_id, lower(substr(u.word, 2, length(u.word) - 2)) AS value
+  FROM (
+    SELECT conv_id,
+           unnest(string_split_regex(trim(text), '\\s+')) AS word
+    FROM read_parquet('{transcripts_path}')
+    WHERE trim(text) <> ''
+  ) u
+  WHERE {ENT_SQL.format(w=w)}
+),
+syn AS (
+  SELECT lower(trim(value)) AS sid, MIN(group_id) AS group_id
+  FROM read_parquet('{synonyms_path}') GROUP BY 1
+),
+al AS (
+  SELECT COALESCE('g' || CAST(sa.group_id AS VARCHAR),
+                  'u:' || lower(trim(a.value_a))) AS src,
+         COALESCE('g' || CAST(sb.group_id AS VARCHAR),
+                  'u:' || lower(trim(a.value_b))) AS dst
+  FROM read_parquet('{aliases_path}') a
+  LEFT JOIN syn sa ON sa.sid = lower(trim(a.value_a))
+  LEFT JOIN syn sb ON sb.sid = lower(trim(a.value_b))
+),
+aledges AS (
+  SELECT src AS a, dst AS b FROM al WHERE src <> dst
+  UNION
+  SELECT dst AS a, src AS b FROM al WHERE src <> dst
+),
+reach(node, root) AS (
+  SELECT a AS node, a AS root FROM (SELECT DISTINCT a FROM aledges)
+  UNION
+  SELECT e.b AS node, r.root
+  FROM reach r JOIN aledges e ON e.a = r.node
+),
+comp AS (SELECT node, MIN(root) AS component FROM reach GROUP BY node),
+ents AS (
+  SELECT DISTINCT m.conv_id,
+         COALESCE(c.component,
+                  COALESCE('g' || CAST(s.group_id AS VARCHAR),
+                           'u:' || m.value)) AS canon
+  FROM ment m
+  LEFT JOIN syn s ON s.sid = m.value
+  LEFT JOIN comp c
+    ON c.node = COALESCE('g' || CAST(s.group_id AS VARCHAR),
+                         'u:' || m.value)
+),
+pc AS (
+  SELECT canon, CAST(COUNT(*) AS BIGINT) AS n_node FROM ents GROUP BY 1
+),
+total AS (
+  SELECT CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs FROM ents
+),
+co AS (
+  SELECT a.canon AS e_a, b.canon AS e_b,
+         CAST(COUNT(*) AS BIGINT) AS n_pair,
+         MIN(pa.n_node) AS n_a, MIN(pb.n_node) AS n_b
+  FROM ents a
+  JOIN ents b ON a.conv_id = b.conv_id AND a.canon < b.canon
+  JOIN pc pa ON pa.canon = a.canon
+  JOIN pc pb ON pb.canon = b.canon
+  GROUP BY 1, 2
+)"""
+
+
+def cooccurrence_sql(transcripts_path: str, synonyms_path: str,
+                     aliases_path: str) -> str:
+    """Entity co-occurrence oracle: unordered canonical-entity pairs sharing
+    a conversation, with per-entity conversation frequencies and lift."""
+    return _cooccurrence_ctes(transcripts_path, synonyms_path,
+                              aliases_path) + """
+SELECT e_a, e_b, n_pair, n_a, n_b, t.n_convs,
+       (n_pair * t.n_convs) / (n_a * n_b) AS lift
+FROM co, total t
+ORDER BY e_a, e_b"""
+
+
+def triangles_sql(transcripts_path: str, synonyms_path: str,
+                  aliases_path: str, min_pair: int = 2) -> str:
+    """Triangle-enumeration oracle over the co-occurrence graph thresholded
+    at ``n_pair >= min_pair``.  With u < v normalized edges, the three-way
+    self-join (a,b)x(b,c)x(a,c) yields each triangle exactly once."""
+    return _cooccurrence_ctes(transcripts_path, synonyms_path,
+                              aliases_path) + f""",
+und AS (SELECT e_a AS u, e_b AS v FROM co WHERE n_pair >= {min_pair})
+SELECT t1.u AS a, t1.v AS b, t2.v AS c
+FROM und t1
+JOIN und t2 ON t2.u = t1.v
+JOIN und t3 ON t3.u = t1.u AND t3.v = t2.v
+ORDER BY 1, 2, 3"""
+
+
+def node_degrees_sql(transcripts_path: str, synonyms_path: str,
+                     seed_path: str, aliases_path: str) -> str:
+    """Degree-profile oracle over the canonical edge table."""
+    edges = canonical_edges_sql(transcripts_path, synonyms_path,
+                                seed_path, aliases_path)
+    return f"""
+WITH e AS ({edges}),
+o AS (
+  SELECT src AS node, CAST(COUNT(DISTINCT dst) AS BIGINT) AS out_deg,
+         CAST(SUM(n_ops) AS BIGINT) AS n_out_ops
+  FROM e GROUP BY 1
+),
+i AS (
+  SELECT dst AS node, CAST(COUNT(DISTINCT src) AS BIGINT) AS in_deg,
+         CAST(SUM(n_ops) AS BIGINT) AS n_in_ops
+  FROM e GROUP BY 1
+)
+SELECT COALESCE(o.node, i.node) AS node,
+       CAST(COALESCE(out_deg, 0) AS BIGINT) AS out_deg,
+       CAST(COALESCE(in_deg, 0) AS BIGINT) AS in_deg,
+       CAST(COALESCE(n_out_ops, 0) AS BIGINT) AS n_out_ops,
+       CAST(COALESCE(n_in_ops, 0) AS BIGINT) AS n_in_ops
+FROM o FULL OUTER JOIN i ON o.node = i.node
+ORDER BY 1"""

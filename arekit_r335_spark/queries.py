@@ -706,6 +706,46 @@ def q_kg_canonical_edges(spark, sf_dir):
             .agg(F.count("*").cast("long").alias("n_ops")))
 
 
+def q_kg_node_degrees(spark, sf_dir):
+    """Graph analytics over the canonical edge table: per-node in/out degree
+    (distinct neighbors) and opinion mass.  Two map-side-combinable
+    aggregations + one full outer join on the node id."""
+    from .operators.graph import node_degrees
+    return node_degrees(q_kg_canonical_edges(spark, sf_dir))
+
+
+def _cooccurrence(spark, sf_dir):
+    from .operators.canonical import connected_components, group_alias_edges
+    from .operators.graph import conv_entity_sets, cooccurrence
+    _, inputs = _kg(spark, sf_dir)
+    m = _noframes_mentions(spark, sf_dir)
+    seed_df = seed_groups_df(spark, load_synonym_seed(inputs.synonyms))
+    aliases = spark.read.parquet(inputs.aliases)
+    comps = connected_components(group_alias_edges(m, aliases, seed_df))
+    return cooccurrence(conv_entity_sets(m, comps))
+
+
+def q_kg_cooccurrence(spark, sf_dir):
+    """Canonical-entity co-occurrence with lift: which canonical entities
+    share conversations, how often, and how surprising that is
+    (lift = n_pair * n_convs / (n_a * n_b)).  The per-conv self-join
+    shuffles once on conv_id — the partitioning every upstream KG stage
+    already uses — and is quadratic per conversation, not per corpus."""
+    return _cooccurrence(spark, sf_dir)
+
+
+def q_kg_triangles(spark, sf_dir):
+    """Triangle enumeration over the co-occurrence graph (support >= 2),
+    via degree-ordered edge orientation (Suri & Vassilvitskii, WWW'11):
+    wedge fan-out is bounded by O(sqrt(m)) per vertex, so hub entities
+    cannot blow up the wedge shuffle at corpus scale."""
+    from .operators.graph import triangles
+    co = _cooccurrence(spark, sf_dir)
+    und = (co.filter(F.col("n_pair") >= 2)
+           .select(F.col("e_a").alias("u"), F.col("e_b").alias("v")))
+    return triangles(und)
+
+
 def registry() -> dict:
     return {
         "kg_mentions_noframes": q_kg_mentions_noframes,
@@ -752,6 +792,9 @@ def registry() -> dict:
         "multimodal_frame_sample": q_multimodal_frame_sample,
         "corpus_select": q_corpus_select,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "kg_node_degrees": q_kg_node_degrees,
+        "kg_cooccurrence": q_kg_cooccurrence,
+        "kg_triangles": q_kg_triangles,
     }
 
 
@@ -812,6 +855,12 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict:
             tr, syn, seed, os.path.join(data_dir, "aliases.parquet")),
         "kg_opinion_rollup_first": duck.opinion_rollup_first_sql(
             tr, syn, seed, frames_lex, NEGATION_WORDS),
+        "kg_node_degrees": duck.node_degrees_sql(
+            tr, syn, seed, os.path.join(data_dir, "aliases.parquet")),
+        "kg_cooccurrence": duck.cooccurrence_sql(
+            tr, syn, os.path.join(data_dir, "aliases.parquet")),
+        "kg_triangles": duck.triangles_sql(
+            tr, syn, os.path.join(data_dir, "aliases.parquet")),
     }
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     if os.path.exists(emb_path):
