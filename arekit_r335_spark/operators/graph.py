@@ -147,3 +147,80 @@ def triangles(und: DataFrame) -> DataFrame:
         ["b0", "c0"], "left_semi")
     t = F.array_sort(F.array("a0", "b0", "c0"))
     return closed.select(t[0].alias("a"), t[1].alias("b"), t[2].alias("c"))
+
+
+def pagerank(edges: DataFrame, n_iter: int = 5,
+             damping: float = 0.85) -> DataFrame:
+    """Fixed-iteration PageRank over the directed canonical edge table.
+
+    Iterative shape (same discipline as ``canonical.connected_components``):
+    each iteration is one equi-join of the current rank vector against the
+    distinct edge list, a map-side-combinable sum per destination, and one
+    eager ``localCheckpoint`` that cuts lineage so the plan stays constant
+    size across iterations.  Dangling mass (rank sitting on nodes with no
+    out-edges) is redistributed uniformly each iteration via a one-row
+    broadcast cross join — no per-iteration driver action.
+
+    The single driver-side action is ``nodes.count()`` for N (a scalar
+    needed inside the update literal), taken once on the checkpointed node
+    list.  Output: (node, rank) with sum(rank) == 1 up to float noise.
+    """
+    ed = (edges.select("src", "dst").distinct()
+          .localCheckpoint(eager=False))
+    nodes = (ed.select(F.col("src").alias("node"))
+             .unionAll(ed.select(F.col("dst").alias("node")))
+             .distinct()
+             .localCheckpoint(eager=True))
+    n = nodes.count()
+    od = ed.groupBy(F.col("src").alias("node")).agg(
+        F.countDistinct("dst").cast("double").alias("od"))
+    # out-degree rides along with the rank vector so the per-iteration join
+    # against the edge list is the only shuffle that scales with |E|
+    ranks = (nodes.join(od, "node", "left")
+             .select("node", "od", F.lit(1.0 / n).alias("rank"))
+             .localCheckpoint(eager=True))
+    for _ in range(n_iter):
+        dang = ranks.filter(F.col("od").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        contrib = (ed.join(ranks.withColumnRenamed("node", "src"), "src")
+                   .groupBy(F.col("dst").alias("node"))
+                   .agg(F.sum(F.col("rank") / F.col("od")).alias("m")))
+        ranks = (ranks.select("node", "od")
+                 .join(contrib, "node", "left")
+                 .crossJoin(F.broadcast(dang))
+                 .select("node", "od",
+                         (F.lit((1.0 - damping) / n) + F.lit(damping)
+                          * (F.coalesce("m", F.lit(0.0))
+                             + F.col("dm") / F.lit(float(n))))
+                         .alias("rank"))
+                 .localCheckpoint(eager=True))
+    return ranks.select("node", "rank")
+
+
+def khop_reachability(edges: DataFrame, k: int = 3,
+                      n_seeds: int = 3) -> DataFrame:
+    """Minimum-hop distance (<= k) from the ``n_seeds`` highest-out-degree
+    nodes, following directed edges.  Classic frontier BFS: each layer is
+    one join of the (checkpointed) frontier against the edge list plus an
+    anti-join against the visited set — the frontier, not the graph, is
+    what shuffles per iteration.  Seeds tie-break on node id so the result
+    is deterministic.  Output: (node, hops)."""
+    ed = (edges.select("src", "dst").distinct()
+          .localCheckpoint(eager=False))
+    seeds = (ed.groupBy(F.col("src").alias("node"))
+             .agg(F.countDistinct("dst").alias("__od"))
+             .orderBy(F.desc("__od"), F.asc("node"))
+             .limit(n_seeds)
+             .select("node", F.lit(0).cast("long").alias("hops")))
+    visited = seeds.localCheckpoint(eager=True)
+    frontier = visited
+    for depth in range(1, k + 1):
+        nxt = (frontier.join(ed, frontier["node"] == ed["src"])
+               .select(F.col("dst").alias("node"))
+               .distinct()
+               .join(visited, "node", "left_anti")
+               .select("node", F.lit(depth).cast("long").alias("hops"))
+               .localCheckpoint(eager=True))
+        visited = visited.unionAll(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited

@@ -1491,3 +1491,81 @@ SELECT COALESCE(o.node, i.node) AS node,
        CAST(COALESCE(n_in_ops, 0) AS BIGINT) AS n_in_ops
 FROM o FULL OUTER JOIN i ON o.node = i.node
 ORDER BY 1"""
+
+
+def pagerank_sql(transcripts_path: str, synonyms_path: str, seed_path: str,
+                 aliases_path: str, n_iter: int = 5,
+                 damping: float = 0.85) -> str:
+    """Fixed-iteration PageRank oracle: the update
+    r_{k+1}(v) = (1-d)/N + d*(sum_{u->v} r_k(u)/od(u) + dangling_k/N)
+    unrolled into one CTE chain per iteration — same literals and operation
+    shapes as the Spark side, so values agree to float noise (<< the 6dp
+    comparison rounding).
+
+    Every multiply-referenced CTE is ``MATERIALIZED``: DuckDB otherwise
+    inlines them, and with r_{k} referencing r_{k-1} three times the
+    evaluation tree is 3^iters copies of the regex-heavy edge scan —
+    the unhinted form never finished at sf0.01."""
+    edges = canonical_edges_sql(transcripts_path, synonyms_path,
+                                seed_path, aliases_path)
+    sql = f"""
+WITH e AS MATERIALIZED ({edges}),
+ed AS MATERIALIZED (SELECT DISTINCT src, dst FROM e),
+nodes AS MATERIALIZED (
+  SELECT src AS node FROM ed UNION SELECT dst AS node FROM ed),
+nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+od AS MATERIALIZED (
+  SELECT src AS node, CAST(COUNT(DISTINCT dst) AS DOUBLE) AS od
+  FROM ed GROUP BY 1
+),
+r0 AS MATERIALIZED (
+  SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""
+    for k in range(1, n_iter + 1):
+        p = k - 1
+        sql += f""",
+dang{p} AS MATERIALIZED (
+  SELECT COALESCE(SUM(r.rank), 0) AS dm
+  FROM r{p} r LEFT JOIN od ON od.node = r.node
+  WHERE od.node IS NULL
+),
+contrib{p} AS MATERIALIZED (
+  SELECT ed.dst AS node, SUM(r.rank / od.od) AS m
+  FROM ed
+  JOIN r{p} r ON r.node = ed.src
+  JOIN od ON od.node = ed.src
+  GROUP BY 1
+),
+r{k} AS MATERIALIZED (
+  SELECT nd.node,
+         (1.0 - {damping}) / (SELECT n FROM nn)
+         + {damping} * (COALESCE(c.m, 0)
+                        + (SELECT dm FROM dang{p}) / (SELECT n FROM nn))
+           AS rank
+  FROM nodes nd LEFT JOIN contrib{p} c ON c.node = nd.node
+)"""
+    return sql + f"""
+SELECT node, rank FROM r{n_iter} ORDER BY node"""
+
+
+def khop_sql(transcripts_path: str, synonyms_path: str, seed_path: str,
+             aliases_path: str, k: int = 3, n_seeds: int = 3) -> str:
+    """Min-hop reachability oracle: depth-bounded recursive walk from the
+    top-out-degree seeds (ties broken on node id), MIN(hops) per node."""
+    edges = canonical_edges_sql(transcripts_path, synonyms_path,
+                                seed_path, aliases_path)
+    return f"""
+WITH RECURSIVE e AS MATERIALIZED ({edges}),
+ed AS MATERIALIZED (SELECT DISTINCT src, dst FROM e),
+seeds AS (
+  SELECT src AS node FROM ed GROUP BY 1
+  ORDER BY COUNT(DISTINCT dst) DESC, src LIMIT {n_seeds}
+),
+walk(node, hops) AS (
+  SELECT node, 0 FROM seeds
+  UNION ALL
+  SELECT ed.dst, w.hops + 1
+  FROM walk w JOIN ed ON ed.src = w.node
+  WHERE w.hops < {k}
+)
+SELECT node, CAST(MIN(hops) AS BIGINT) AS hops
+FROM walk GROUP BY 1 ORDER BY 1"""

@@ -746,6 +746,25 @@ def q_kg_triangles(spark, sf_dir):
     return triangles(und)
 
 
+def q_kg_pagerank(spark, sf_dir):
+    """Fixed-iteration PageRank (5 iters, d=0.85) over the canonical edge
+    table.  Iterative Spark shape: per iteration one |E|-join + combinable
+    sum + eager localCheckpoint (constant-size plans); dangling mass via a
+    one-row broadcast.  Oracle: the same update unrolled into 5 CTE
+    generations."""
+    from .operators.graph import pagerank
+    return pagerank(q_kg_canonical_edges(spark, sf_dir), n_iter=5)
+
+
+def q_kg_khop(spark, sf_dir):
+    """BFS min-hop reachability (<= 3 hops) from the three highest
+    out-degree canonical nodes: the frontier — not the graph — shuffles per
+    layer.  Oracle: depth-bounded recursive walk + MIN(hops)."""
+    from .operators.graph import khop_reachability
+    return khop_reachability(q_kg_canonical_edges(spark, sf_dir),
+                             k=3, n_seeds=3)
+
+
 def registry() -> dict:
     return {
         "kg_mentions_noframes": q_kg_mentions_noframes,
@@ -795,6 +814,8 @@ def registry() -> dict:
         "kg_node_degrees": q_kg_node_degrees,
         "kg_cooccurrence": q_kg_cooccurrence,
         "kg_triangles": q_kg_triangles,
+        "kg_pagerank": q_kg_pagerank,
+        "kg_khop": q_kg_khop,
     }
 
 
@@ -861,6 +882,10 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict:
             tr, syn, os.path.join(data_dir, "aliases.parquet")),
         "kg_triangles": duck.triangles_sql(
             tr, syn, os.path.join(data_dir, "aliases.parquet")),
+        "kg_pagerank": duck.pagerank_sql(
+            tr, syn, seed, os.path.join(data_dir, "aliases.parquet")),
+        "kg_khop": duck.khop_sql(
+            tr, syn, seed, os.path.join(data_dir, "aliases.parquet")),
     }
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     if os.path.exists(emb_path):

@@ -100,3 +100,80 @@ def test_triangles_match_sql_oracle_fixture(spark, tmp_path):
         if {(a, b), (a, c), (b, c)} <= und)
     got = sorted(map(tuple, triangles(_und(spark, e)).collect()))
     assert got == naive and len(naive) > 0
+
+
+def _dir(spark, edges):
+    return spark.createDataFrame(edges, "src string, dst string")
+
+
+def _pr_ref(edges, n_iter=5, d=0.85):
+    """Pure-Python power iteration with the engine's exact update rule:
+    r' = (1-d)/N + d*(sum_in r/od + dangling/N)."""
+    ed = set(edges)
+    nodes = sorted({u for e in ed for u in e})
+    n = len(nodes)
+    out = {}
+    for s, t in ed:
+        out.setdefault(s, set()).add(t)
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(n_iter):
+        dang = sum(r[v] for v in nodes if v not in out)
+        nxt = {v: 0.0 for v in nodes}
+        for s, ts in out.items():
+            for t in ts:
+                nxt[t] += r[s] / len(ts)
+        r = {v: (1 - d) / n + d * (nxt[v] + dang / n) for v in nodes}
+    return r
+
+
+def test_pagerank_matches_power_iteration(spark):
+    """Small digraph with a dangling node (d has no out-edges) and a
+    duplicate edge: ranks equal the reference power iteration and mass is
+    conserved (sum == 1)."""
+    from arekit_r335_spark.operators.graph import pagerank
+    e = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+         ("c", "d"), ("a", "b")]
+    got = {r.node: r.rank for r in pagerank(_dir(spark, e)).collect()}
+    ref = _pr_ref(e)
+    assert set(got) == set(ref)
+    for v in ref:
+        assert abs(got[v] - ref[v]) < 1e-12, v
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_cycle_uniform(spark):
+    """A directed cycle is rank-invariant: every node stays at 1/N."""
+    from arekit_r335_spark.operators.graph import pagerank
+    n = 6
+    e = [(f"v{i}", f"v{(i + 1) % n}") for i in range(n)]
+    got = {r.node: r.rank for r in pagerank(_dir(spark, e)).collect()}
+    assert all(abs(v - 1.0 / n) < 1e-12 for v in got.values())
+
+
+def test_khop_min_hops_and_frontier(spark):
+    """Hub with highest out-degree is the seed; min-hop wins when a node
+    is reachable at several depths; nodes beyond k are absent."""
+    from arekit_r335_spark.operators.graph import khop_reachability
+    # hub -> l1_{0..3} (out-deg 4, the top seed); chain past k; shortcut
+    e = [("hub", f"l1_{i}") for i in range(4)]
+    e += [("l1_0", "l2"), ("l2", "l3"), ("l3", "l4"),
+          ("hub", "l2"),          # shortcut: l2 at hop 1, not 2
+          ("l1_1", "hub")]        # back-edge: hub stays hops=0
+    got = {r.node: r.hops for r in
+           khop_reachability(_dir(spark, e), k=3, n_seeds=1).collect()}
+    assert got["hub"] == 0
+    assert got["l1_0"] == 1 and got["l2"] == 1
+    assert got["l3"] == 2 and got["l4"] == 3
+    assert all(got[f"l1_{i}"] == 1 for i in range(4))
+
+
+def test_khop_seed_tiebreak_deterministic(spark):
+    """Equal out-degrees tie-break on node id ascending, matching the
+    oracle's ORDER BY count DESC, src."""
+    from arekit_r335_spark.operators.graph import khop_reachability
+    e = [("b", "x1"), ("b", "x2"), ("a", "y1"), ("a", "y2"),
+         ("c", "z1"), ("c", "z2"), ("z1", "w")]
+    got = {r.node: r.hops for r in
+           khop_reachability(_dir(spark, e), k=2, n_seeds=2).collect()}
+    # seeds: a and b (id order among equal out-deg 2); c's subtree absent
+    assert got == {"a": 0, "b": 0, "x1": 1, "x2": 1, "y1": 1, "y2": 1}
