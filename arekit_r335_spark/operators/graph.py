@@ -150,7 +150,8 @@ def triangles(und: DataFrame) -> DataFrame:
 
 
 def pagerank(edges: DataFrame, n_iter: int = 5,
-             damping: float = 0.85) -> DataFrame:
+             damping: float = 0.85,
+             weight_col: str | None = None) -> DataFrame:
     """Fixed-iteration PageRank over the directed canonical edge table.
 
     Iterative shape (same discipline as ``canonical.connected_components``):
@@ -161,21 +162,32 @@ def pagerank(edges: DataFrame, n_iter: int = 5,
     out-edges) is redistributed uniformly each iteration via a one-row
     broadcast cross join — no per-iteration driver action.
 
+    With ``weight_col`` (e.g. ``n_ops``) the walk is weighted: each edge
+    carries w = sum(weight_col) over its duplicate rows and a node's rank
+    splits proportionally to w over its out-strength sum(w).  The default
+    is the unweighted walk (w = 1 per distinct edge), numerically identical
+    to rank/out-degree.
+
     The single driver-side action is ``nodes.count()`` for N (a scalar
     needed inside the update literal), taken once on the checkpointed node
     list.  Output: (node, rank) with sum(rank) == 1 up to float noise.
     """
-    ed = (edges.select("src", "dst").distinct()
-          .localCheckpoint(eager=False))
+    if weight_col is None:
+        ed = (edges.select("src", "dst").distinct()
+              .select("src", "dst", F.lit(1.0).alias("w")))
+    else:
+        ed = (edges.groupBy("src", "dst")
+              .agg(F.sum(weight_col).cast("double").alias("w")))
+    ed = ed.localCheckpoint(eager=False)
     nodes = (ed.select(F.col("src").alias("node"))
              .unionAll(ed.select(F.col("dst").alias("node")))
              .distinct()
              .localCheckpoint(eager=True))
     n = nodes.count()
     od = ed.groupBy(F.col("src").alias("node")).agg(
-        F.countDistinct("dst").cast("double").alias("od"))
-    # out-degree rides along with the rank vector so the per-iteration join
-    # against the edge list is the only shuffle that scales with |E|
+        F.sum("w").alias("od"))
+    # out-strength rides along with the rank vector so the per-iteration
+    # join against the edge list is the only shuffle that scales with |E|
     ranks = (nodes.join(od, "node", "left")
              .select("node", "od", F.lit(1.0 / n).alias("rank"))
              .localCheckpoint(eager=True))
@@ -184,7 +196,8 @@ def pagerank(edges: DataFrame, n_iter: int = 5,
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
         contrib = (ed.join(ranks.withColumnRenamed("node", "src"), "src")
                    .groupBy(F.col("dst").alias("node"))
-                   .agg(F.sum(F.col("rank") / F.col("od")).alias("m")))
+                   .agg(F.sum(F.col("rank") * F.col("w")
+                              / F.col("od")).alias("m")))
         ranks = (ranks.select("node", "od")
                  .join(contrib, "node", "left")
                  .crossJoin(F.broadcast(dang))

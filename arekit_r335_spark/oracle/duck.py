@@ -1495,7 +1495,7 @@ ORDER BY 1"""
 
 def pagerank_sql(transcripts_path: str, synonyms_path: str, seed_path: str,
                  aliases_path: str, n_iter: int = 5,
-                 damping: float = 0.85) -> str:
+                 damping: float = 0.85, weighted: bool = False) -> str:
     """Fixed-iteration PageRank oracle: the update
     r_{k+1}(v) = (1-d)/N + d*(sum_{u->v} r_k(u)/od(u) + dangling_k/N)
     unrolled into one CTE chain per iteration — same literals and operation
@@ -1505,17 +1505,24 @@ def pagerank_sql(transcripts_path: str, synonyms_path: str, seed_path: str,
     Every multiply-referenced CTE is ``MATERIALIZED``: DuckDB otherwise
     inlines them, and with r_{k} referencing r_{k-1} three times the
     evaluation tree is 3^iters copies of the regex-heavy edge scan —
-    the unhinted form never finished at sf0.01."""
+    the unhinted form never finished at sf0.01.
+
+    ``weighted=True`` matches the Spark ``weight_col="n_ops"`` walk: edge
+    weight = sum(n_ops) per (src, dst), rank split by out-strength."""
     edges = canonical_edges_sql(transcripts_path, synonyms_path,
                                 seed_path, aliases_path)
+    ed_body = ("SELECT src, dst, CAST(SUM(n_ops) AS DOUBLE) AS w "
+               "FROM e GROUP BY 1, 2" if weighted else
+               "SELECT src, dst, CAST(1.0 AS DOUBLE) AS w "
+               "FROM (SELECT DISTINCT src, dst FROM e)")
     sql = f"""
 WITH e AS MATERIALIZED ({edges}),
-ed AS MATERIALIZED (SELECT DISTINCT src, dst FROM e),
+ed AS MATERIALIZED ({ed_body}),
 nodes AS MATERIALIZED (
   SELECT src AS node FROM ed UNION SELECT dst AS node FROM ed),
 nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
 od AS MATERIALIZED (
-  SELECT src AS node, CAST(COUNT(DISTINCT dst) AS DOUBLE) AS od
+  SELECT src AS node, SUM(w) AS od
   FROM ed GROUP BY 1
 ),
 r0 AS MATERIALIZED (
@@ -1529,7 +1536,7 @@ dang{p} AS MATERIALIZED (
   WHERE od.node IS NULL
 ),
 contrib{p} AS MATERIALIZED (
-  SELECT ed.dst AS node, SUM(r.rank / od.od) AS m
+  SELECT ed.dst AS node, SUM(r.rank * ed.w / od.od) AS m
   FROM ed
   JOIN r{p} r ON r.node = ed.src
   JOIN od ON od.node = ed.src

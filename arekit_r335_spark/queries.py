@@ -756,6 +756,16 @@ def q_kg_pagerank(spark, sf_dir):
     return pagerank(q_kg_canonical_edges(spark, sf_dir), n_iter=5)
 
 
+def q_kg_pagerank_weighted(spark, sf_dir):
+    """Opinion-weighted PageRank: each canonical edge carries the number
+    of supporting doc-level opinions (n_ops summed over labels), so rank
+    flows proportionally to evidence mass, not just link existence.  Same
+    iterative shape and oracle discipline as kg_pagerank."""
+    from .operators.graph import pagerank
+    return pagerank(q_kg_canonical_edges(spark, sf_dir), n_iter=5,
+                    weight_col="n_ops")
+
+
 def q_kg_khop(spark, sf_dir):
     """BFS min-hop reachability (<= 3 hops) from the three highest
     out-degree canonical nodes: the frontier — not the graph — shuffles per
@@ -815,6 +825,7 @@ def registry() -> dict:
         "kg_cooccurrence": q_kg_cooccurrence,
         "kg_triangles": q_kg_triangles,
         "kg_pagerank": q_kg_pagerank,
+        "kg_pagerank_weighted": q_kg_pagerank_weighted,
         "kg_khop": q_kg_khop,
     }
 
@@ -884,6 +895,9 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict:
             tr, syn, os.path.join(data_dir, "aliases.parquet")),
         "kg_pagerank": duck.pagerank_sql(
             tr, syn, seed, os.path.join(data_dir, "aliases.parquet")),
+        "kg_pagerank_weighted": duck.pagerank_sql(
+            tr, syn, seed, os.path.join(data_dir, "aliases.parquet"),
+            weighted=True),
         "kg_khop": duck.khop_sql(
             tr, syn, seed, os.path.join(data_dir, "aliases.parquet")),
     }

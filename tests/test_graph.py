@@ -177,3 +177,36 @@ def test_khop_seed_tiebreak_deterministic(spark):
            khop_reachability(_dir(spark, e), k=2, n_seeds=2).collect()}
     # seeds: a and b (id order among equal out-deg 2); c's subtree absent
     assert got == {"a": 0, "b": 0, "x1": 1, "x2": 1, "y1": 1, "y2": 1}
+
+
+def test_pagerank_weighted_matches_reference(spark):
+    """Weighted walk: rank splits by out-strength.  Reference power
+    iteration generalized with per-edge weights; unweighted call on the
+    same multigraph must differ (weights actually matter)."""
+    from arekit_r335_spark.operators.graph import pagerank
+    rows = [("a", "b", 3), ("a", "c", 1), ("b", "c", 2), ("c", "a", 5)]
+    df = spark.createDataFrame(rows, "src string, dst string, n_ops long")
+
+    w = {(s, t): float(k) for s, t, k in rows}
+    out = {}
+    for (s, t), k in w.items():
+        out.setdefault(s, {})[t] = k
+    nodes = sorted({u for e in w for u in e})
+    n, d = len(nodes), 0.85
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(5):
+        dang = sum(r[v] for v in nodes if v not in out)
+        nxt = {v: 0.0 for v in nodes}
+        for s, ts in out.items():
+            sw = sum(ts.values())
+            for t, k in ts.items():
+                nxt[t] += r[s] * k / sw
+        r = {v: (1 - d) / n + d * (nxt[v] + dang / n) for v in nodes}
+
+    got = {x.node: x.rank for x in
+           pagerank(df, weight_col="n_ops").collect()}
+    assert set(got) == set(r)
+    for v in r:
+        assert abs(got[v] - r[v]) < 1e-12, v
+    un = {x.node: x.rank for x in pagerank(df).collect()}
+    assert any(abs(un[v] - got[v]) > 1e-6 for v in nodes)
