@@ -52,6 +52,28 @@ def run_query(spark, fn, sf_dir: str) -> float:
     return time.time() - t0
 
 
+def run_query_quiet(spark, fn, sf_dir: str, attempts: int = 3,
+                    steal_thresh: float = 0.05) -> tuple[float, float]:
+    """Steal-gated per-query timing — the headline counterpart of the
+    scaling protocol's quiet-iteration rule.  This sandbox takes
+    multi-minute hypervisor steal bursts that inflate identical-binary
+    walls 2-3x (measured 24.1s vs 52.7s back-to-back full-suite runs);
+    accept the first attempt whose /proc/stat steal fraction stays under
+    the threshold, otherwise keep the minimum of up to ``attempts``.
+    Returns (seconds, steal fraction of the accepted attempt)."""
+    best, best_steal = float("inf"), 1.0
+    for _ in range(attempts):
+        j0, s0 = _cpu_stat()
+        dt = run_query(spark, fn, sf_dir)
+        j1, s1 = _cpu_stat()
+        steal = (s1 - s0) / max(1, j1 - j0)
+        if dt < best:
+            best, best_steal = dt, steal
+        if steal < steal_thresh:
+            break
+    return best, best_steal
+
+
 def _tmpfs_local_dir() -> str | None:
     """tmpfs shuffle dirs are the local-mode stand-in for cluster NVMe
     shuffle volumes, but past a few GB of input the spill competes with the
@@ -223,10 +245,12 @@ def main() -> None:
     # like the scaling protocol does.
     run_query(spark, qs["kg_triples"], "/root/testdata/sf0.001")
     per_query: dict[str, float] = {}
+    steals: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
-        dt = run_query(spark, qs[name], SF_DIR)
+        dt, steal = run_query_quiet(spark, qs[name], SF_DIR)
         per_query[name] = round(dt, 3)
+        steals[name] = round(steal, 4)
         total += dt
     turns = count_turns(SF_DIR)
     flag = per_query.get("kg_triples", 1.0)
@@ -241,7 +265,10 @@ def main() -> None:
         "turns": turns,
         "turns_per_sec": round(turns / flag, 1) if flag > 0 else None,
         "protocol": {"warmup": "one sf0.001 flagship run",
-                     "shuffle_dir": "tmpfs" if _tmpfs_local_dir() else "disk"},
+                     "shuffle_dir": "tmpfs" if _tmpfs_local_dir() else "disk",
+                     "timing": "per-query best of <=3 attempts, accepted "
+                               "early when /proc/stat steal <5%",
+                     "steal_frac": steals},
     }
 
     if scaling:
