@@ -1554,6 +1554,65 @@ r{k} AS MATERIALIZED (
 SELECT node, rank FROM r{n_iter} ORDER BY node"""
 
 
+def pagerank_personalized_sql(transcripts_path: str, synonyms_path: str,
+                              seed_path: str, aliases_path: str,
+                              n_iter: int = 5, damping: float = 0.85,
+                              n_seeds: int = 3) -> str:
+    """Personalized-PageRank oracle: teleport vector concentrated on the
+    ``n_seeds`` top-out-degree nodes (ties on node id — the khop seed
+    rule); r0 = t and the update is
+    r' = (1-d)*t + d*(sum_in r*w/od + dangling*t).
+    Damping literals are emitted via ``repr`` so DuckDB parses the exact
+    binary double Spark's ``F.lit(1.0 - damping)`` uses (a DECIMAL
+    ``(1.0 - 0.85)`` would differ by one ulp).  MATERIALIZED everywhere a
+    CTE is referenced more than once (see pagerank_sql)."""
+    edges = canonical_edges_sql(transcripts_path, synonyms_path,
+                                seed_path, aliases_path)
+    one_minus_d, d = repr(1.0 - damping), repr(damping)
+    sql = f"""
+WITH e AS MATERIALIZED ({edges}),
+ed AS MATERIALIZED (SELECT DISTINCT src, dst FROM e),
+edw AS MATERIALIZED (SELECT src, dst, CAST(1.0 AS DOUBLE) AS w FROM ed),
+seeds AS MATERIALIZED (
+  SELECT src AS node FROM ed GROUP BY 1
+  ORDER BY COUNT(DISTINCT dst) DESC, src LIMIT {n_seeds}
+),
+sn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS ns FROM seeds),
+nodes AS MATERIALIZED (
+  SELECT node,
+         CASE WHEN node IN (SELECT node FROM seeds)
+              THEN 1.0 / (SELECT ns FROM sn) ELSE 0.0 END AS t
+  FROM (SELECT src AS node FROM ed UNION SELECT dst AS node FROM ed)),
+od AS MATERIALIZED (
+  SELECT src AS node, SUM(w) AS od FROM edw GROUP BY 1
+),
+r0 AS MATERIALIZED (SELECT node, t AS rank FROM nodes)"""
+    for k in range(1, n_iter + 1):
+        p = k - 1
+        sql += f""",
+dang{p} AS MATERIALIZED (
+  SELECT COALESCE(SUM(r.rank), 0) AS dm
+  FROM r{p} r LEFT JOIN od ON od.node = r.node
+  WHERE od.node IS NULL
+),
+contrib{p} AS MATERIALIZED (
+  SELECT edw.dst AS node, SUM(r.rank * edw.w / od.od) AS m
+  FROM edw
+  JOIN r{p} r ON r.node = edw.src
+  JOIN od ON od.node = edw.src
+  GROUP BY 1
+),
+r{k} AS MATERIALIZED (
+  SELECT nd.node,
+         {one_minus_d} * nd.t
+         + {d} * (COALESCE(c.m, 0)
+                  + (SELECT dm FROM dang{p}) * nd.t) AS rank
+  FROM nodes nd LEFT JOIN contrib{p} c ON c.node = nd.node
+)"""
+    return sql + f"""
+SELECT node, rank FROM r{n_iter} ORDER BY node"""
+
+
 def khop_sql(transcripts_path: str, synonyms_path: str, seed_path: str,
              aliases_path: str, k: int = 3, n_seeds: int = 3) -> str:
     """Min-hop reachability oracle: depth-bounded recursive walk from the

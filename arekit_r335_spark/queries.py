@@ -766,6 +766,23 @@ def q_kg_pagerank_weighted(spark, sf_dir):
                     weight_col="n_ops")
 
 
+def q_kg_pagerank_personalized(spark, sf_dir):
+    """Personalized PageRank: teleport concentrated on the three highest
+    out-degree canonical nodes (the khop seed rule), so scores rank every
+    entity by walk-proximity to the KG's hub entities; unreachable nodes
+    score exactly 0.  Oracle: the t-form update unrolled per generation
+    with repr-exact damping literals."""
+    from .operators.graph import pagerank_personalized
+    edges = q_kg_canonical_edges(spark, sf_dir)
+    ed = edges.select("src", "dst").distinct()
+    seeds = (ed.groupBy(F.col("src").alias("node"))
+             .agg(F.countDistinct("dst").alias("__od"))
+             .orderBy(F.desc("__od"), F.asc("node"))
+             .limit(3)
+             .select("node"))
+    return pagerank_personalized(edges, seeds, n_iter=5)
+
+
 def q_kg_khop(spark, sf_dir):
     """BFS min-hop reachability (<= 3 hops) from the three highest
     out-degree canonical nodes: the frontier — not the graph — shuffles per
@@ -826,6 +843,7 @@ def registry() -> dict:
         "kg_triangles": q_kg_triangles,
         "kg_pagerank": q_kg_pagerank,
         "kg_pagerank_weighted": q_kg_pagerank_weighted,
+        "kg_pagerank_personalized": q_kg_pagerank_personalized,
         "kg_khop": q_kg_khop,
     }
 
@@ -898,6 +916,8 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         "kg_pagerank_weighted": duck.pagerank_sql(
             tr, syn, seed, os.path.join(data_dir, "aliases.parquet"),
             weighted=True),
+        "kg_pagerank_personalized": duck.pagerank_personalized_sql(
+            tr, syn, seed, os.path.join(data_dir, "aliases.parquet")),
         "kg_khop": duck.khop_sql(
             tr, syn, seed, os.path.join(data_dir, "aliases.parquet")),
     }

@@ -210,3 +210,37 @@ def test_pagerank_weighted_matches_reference(spark):
         assert abs(got[v] - r[v]) < 1e-12, v
     un = {x.node: x.rank for x in pagerank(df).collect()}
     assert any(abs(un[v] - got[v]) > 1e-6 for v in nodes)
+
+
+def test_pagerank_personalized_matches_reference(spark):
+    """Teleport concentrated on one seed: matches the t-form power
+    iteration, unreachable nodes score exactly 0, mass sums to 1."""
+    from arekit_r335_spark.operators.graph import pagerank_personalized
+    # a -> b -> c (c dangling); isolated pair x -> y unreachable from a
+    e = [("a", "b"), ("b", "c"), ("x", "y")]
+    df = spark.createDataFrame(e, "src string, dst string")
+    seeds = spark.createDataFrame([("a",)], "node string")
+
+    nodes = sorted({u for t in e for u in t})
+    out = {}
+    for s, t in e:
+        out.setdefault(s, set()).add(t)
+    d = 0.85
+    tele = {v: (1.0 if v == "a" else 0.0) for v in nodes}
+    r = dict(tele)
+    for _ in range(5):
+        dang = sum(r[v] for v in nodes if v not in out)
+        nxt = {v: 0.0 for v in nodes}
+        for s, ts in out.items():
+            for t in ts:
+                nxt[t] += r[s] / len(ts)
+        r = {v: (1 - d) * tele[v] + d * (nxt[v] + dang * tele[v])
+             for v in nodes}
+
+    got = {x.node: x.rank for x in
+           pagerank_personalized(df, seeds).collect()}
+    assert set(got) == set(r)
+    for v in r:
+        assert abs(got[v] - r[v]) < 1e-12, v
+    assert got["x"] == 0.0 and got["y"] == 0.0
+    assert abs(sum(got.values()) - 1.0) < 1e-9
