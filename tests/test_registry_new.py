@@ -114,3 +114,15 @@ def test_eval_accuracy_bounds_and_context_counts(spark):
     for r in prf:
         assert 0 <= r.tp <= min(r.n_test, r.n_etalon) or r.n_test == 0
         assert 0.0 <= r.prec <= 1.0 and 0.0 <= r.rec <= 1.0
+
+
+def test_registry_oracle_key_parity():
+    """Driver-contract invariant: every queries() entry carries an
+    oracle_sql() entry (the correctness gate hashes both sides), and every
+    oracle is a non-trivial SQL string.  No Spark session needed."""
+    import __spark_entry__ as m
+    qs, sqls = m.queries(), m.oracle_sql()
+    assert set(qs) == set(sqls), (
+        set(qs) ^ set(sqls))
+    for name, sql in sqls.items():
+        assert isinstance(sql, str) and "SELECT" in sql.upper(), name
