@@ -766,6 +766,25 @@ def q_kg_pagerank_weighted(spark, sf_dir):
                     weight_col="n_ops")
 
 
+def q_kg_label_timeline(spark, sf_dir):
+    """Attitude drift over time: daily triple counts per label — the
+    temporal monitoring rollup a KG materialization job runs after each
+    batch.  Day index is epoch-based (floor(epoch_sec/86400)) so the
+    result is timezone-proof; the (conv_id, turn_idx) join back to the
+    transcripts reuses the pipeline's conv_id partitioning, and the final
+    (day, label) aggregate is low-cardinality and map-side combinable."""
+    _, inputs = _kg(spark, sf_dir)
+    triples = build_triple_pipeline(spark, inputs, PipelineConfig(),
+                                    persist=False).triples
+    tt = (spark.read.parquet(inputs.transcripts)
+          .select("conv_id", "turn_idx", "ts"))
+    return (triples.join(tt, ["conv_id", "turn_idx"])
+            .groupBy(F.floor(F.unix_timestamp("ts") / F.lit(86400))
+                     .cast("long").alias("day_idx"),
+                     "label")
+            .agg(F.count("*").alias("n_triples")))
+
+
 def q_kg_pagerank_personalized(spark, sf_dir):
     """Personalized PageRank: teleport concentrated on the three highest
     out-degree canonical nodes (the khop seed rule), so scores rank every
@@ -845,6 +864,7 @@ def registry() -> dict:
         "kg_pagerank_weighted": q_kg_pagerank_weighted,
         "kg_pagerank_personalized": q_kg_pagerank_personalized,
         "kg_khop": q_kg_khop,
+        "kg_label_timeline": q_kg_label_timeline,
     }
 
 
@@ -869,6 +889,14 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict:
             + duck.triples_frames_sql(tr, syn, seed, frames_lex,
                                       NEGATION_WORDS)
             + ") GROUP BY label"),
+        "kg_label_timeline": (
+            "SELECT CAST(FLOOR(EPOCH(tt.ts) / 86400) AS BIGINT) AS day_idx,"
+            " t.label, CAST(COUNT(*) AS BIGINT) AS n_triples FROM ("
+            + duck.triples_frames_sql(tr, syn, seed, frames_lex,
+                                      NEGATION_WORDS)
+            + f") t JOIN (SELECT conv_id, turn_idx, ts FROM"
+            f" read_parquet('{tr}')) tt ON tt.conv_id = t.conv_id"
+            " AND tt.turn_idx = t.turn_idx GROUP BY 1, 2 ORDER BY 1, 2"),
         "kg_frame_hits": duck.frame_hits_sql(tr, syn, frames_lex,
                                              NEGATION_WORDS),
         "kg_doc_opinions": duck.doc_opinions_frames_sql(tr, syn, seed,
