@@ -785,6 +785,34 @@ def q_kg_label_timeline(spark, sf_dir):
             .agg(F.count("*").alias("n_triples")))
 
 
+def q_kg_entity_timeline(spark, sf_dir):
+    """Per-canonical-entity lifecycle: first/last epoch-day the entity is
+    mentioned plus its mention count — node metadata for emergence /
+    staleness monitoring over the KG.  The ts join runs on the pipeline's
+    (conv_id, turn_idx) partitioning; the component map is dictionary-
+    sized and broadcasts."""
+    from .operators.canonical import connected_components, group_alias_edges
+    _, inputs = _kg(spark, sf_dir)
+    mentions = _noframes_mentions(spark, sf_dir)
+    seed_df = seed_groups_df(spark, load_synonym_seed(inputs.synonyms))
+    aliases = spark.read.parquet(inputs.aliases)
+    comps = connected_components(
+        group_alias_edges(mentions, aliases, seed_df))
+    tt = (spark.read.parquet(inputs.transcripts)
+          .select("conv_id", "turn_idx", "ts"))
+    m = (mentions.join(tt, ["conv_id", "turn_idx"])
+         .join(F.broadcast(comps.withColumnRenamed("node", "group_key")),
+               "group_key", "left")
+         .select(F.coalesce("component", F.col("group_key"))
+                 .alias("canon_id"),
+                 F.floor(F.unix_timestamp("ts") / F.lit(86400))
+                 .cast("long").alias("day_idx")))
+    return (m.groupBy("canon_id")
+            .agg(F.min("day_idx").alias("first_day"),
+                 F.max("day_idx").alias("last_day"),
+                 F.count("*").alias("n_mentions")))
+
+
 def q_kg_pagerank_personalized(spark, sf_dir):
     """Personalized PageRank: teleport concentrated on the three highest
     out-degree canonical nodes (the khop seed rule), so scores rank every
@@ -865,6 +893,7 @@ def registry() -> dict:
         "kg_pagerank_personalized": q_kg_pagerank_personalized,
         "kg_khop": q_kg_khop,
         "kg_label_timeline": q_kg_label_timeline,
+        "kg_entity_timeline": q_kg_entity_timeline,
     }
 
 
@@ -897,6 +926,19 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict:
             + f") t JOIN (SELECT conv_id, turn_idx, ts FROM"
             f" read_parquet('{tr}')) tt ON tt.conv_id = t.conv_id"
             " AND tt.turn_idx = t.turn_idx GROUP BY 1, 2 ORDER BY 1, 2"),
+        "kg_entity_timeline": (
+            "SELECT COALESCE(cn.canon_id, m.group_key) AS canon_id,"
+            " CAST(MIN(FLOOR(EPOCH(tt.ts) / 86400)) AS BIGINT) AS first_day,"
+            " CAST(MAX(FLOOR(EPOCH(tt.ts) / 86400)) AS BIGINT) AS last_day,"
+            " CAST(COUNT(*) AS BIGINT) AS n_mentions FROM ("
+            + duck.mentions_noframes_sql(tr, syn)
+            + f") m JOIN (SELECT conv_id, turn_idx, ts FROM"
+            f" read_parquet('{tr}')) tt ON tt.conv_id = m.conv_id"
+            " AND tt.turn_idx = m.turn_idx LEFT JOIN ("
+            + duck.canonical_nodes_sql(
+                tr, syn, os.path.join(data_dir, "aliases.parquet"))
+            + ") cn ON cn.group_key = m.group_key"
+            " GROUP BY 1 ORDER BY 1"),
         "kg_frame_hits": duck.frame_hits_sql(tr, syn, frames_lex,
                                              NEGATION_WORDS),
         "kg_doc_opinions": duck.doc_opinions_frames_sql(tr, syn, seed,
