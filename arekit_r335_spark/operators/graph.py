@@ -293,3 +293,56 @@ def khop_reachability(edges: DataFrame, k: int = 3,
         visited = visited.unionAll(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return visited
+
+
+def negative_samples(edges: DataFrame, k: int = 3,
+                     buckets: int | None = None) -> DataFrame:
+    """Deterministic negative sampling for KG-embedding training (TransE /
+    DistMult-style corruption): for each positive edge (src, dst) emit up
+    to ``k`` corrupted tails (src, neg_dst) that are NOT true edges.
+
+    No RNG — the sample is a pure function of the data, so re-runs,
+    resumes, and the DuckDB oracle all agree: nodes are hashed into
+    ``buckets`` by an md5 prefix; negative i of an edge targets the bucket
+    md5(src|dst|i) and takes the bucket member minimizing
+    md5(node|src|dst|i), after dropping self/positive collisions.
+
+    Scale shape: candidates are k*|E| rows joined to one bucket each
+    (~|V|/buckets nodes), so with buckets ~ |V|/c the join stays linear in
+    |E|; the arg-min aggregate is map-side combinable and the positive
+    filter is one partitioned anti-join against the edge list.  When a
+    bucket yields only collisions the negative is dropped, not resampled —
+    the undercount is bounded and documented rather than hidden behind a
+    driver loop.  ``buckets=None`` derives ~16-node buckets from the node
+    count (one dictionary-sized action, like ``pagerank``'s N)."""
+    import math
+    ed = edges.select("src", "dst").distinct().localCheckpoint(eager=False)
+    nodes = (ed.select(F.col("src").alias("node"))
+             .unionAll(ed.select(F.col("dst").alias("node")))
+             .distinct())
+    if buckets is None:
+        buckets = max(2, math.ceil(nodes.count() / 16))
+
+    def hexint(c):
+        return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+    nb = nodes.select(
+        "node", (hexint(F.col("node")) % buckets).alias("bucket"))
+    cand = (ed.select(
+                "src", "dst",
+                F.explode(F.array(*[F.lit(i) for i in range(k)]))
+                .alias("neg_idx"))
+            .withColumn(
+                "bucket",
+                hexint(F.concat_ws("|", "src", "dst",
+                                   F.col("neg_idx").cast("string")))
+                % buckets)
+            .join(nb, "bucket")
+            .filter((F.col("node") != F.col("src"))
+                    & (F.col("node") != F.col("dst")))
+            .join(ed.select("src", F.col("dst").alias("node")),
+                  ["src", "node"], "left_anti"))
+    key = F.md5(F.concat_ws("|", "node", "src", "dst",
+                            F.col("neg_idx").cast("string")))
+    return (cand.groupBy("src", "dst", "neg_idx")
+            .agg(F.min_by("node", key).alias("neg_dst")))

@@ -1613,6 +1613,40 @@ r{k} AS MATERIALIZED (
 SELECT node, rank FROM r{n_iter} ORDER BY node"""
 
 
+def negative_samples_over_sql(edges_sql: str, k: int = 3,
+                              buckets: int = 4) -> str:
+    """Deterministic negative-sampling oracle over ANY (src, dst) edge
+    SQL: identical md5 bucket targeting and md5 arg-min as the Spark
+    operator (the hex-prefix base-16 parse is the engine-portable pattern
+    proven by folding_assign), positives excluded via NOT EXISTS."""
+
+    def hexint(expr: str) -> str:
+        return (f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+                f" % {buckets}")
+
+    return f"""
+WITH e AS MATERIALIZED ({edges_sql}),
+ed AS MATERIALIZED (SELECT DISTINCT src, dst FROM e),
+nodes AS MATERIALIZED (
+  SELECT src AS node FROM ed UNION SELECT dst AS node FROM ed),
+nb AS MATERIALIZED (
+  SELECT node, {hexint('node')} AS bucket FROM nodes),
+ix AS (SELECT unnest(generate_series(0, {k - 1})) AS neg_idx),
+cand AS (
+  SELECT ed.src, ed.dst, CAST(ix.neg_idx AS INT) AS neg_idx, nb.node
+  FROM ed CROSS JOIN ix
+  JOIN nb ON nb.bucket =
+    {hexint("ed.src || '|' || ed.dst || '|' || CAST(ix.neg_idx AS VARCHAR)")}
+  WHERE nb.node <> ed.src AND nb.node <> ed.dst
+    AND NOT EXISTS (SELECT 1 FROM ed e2
+                    WHERE e2.src = ed.src AND e2.dst = nb.node)
+)
+SELECT src, dst, neg_idx,
+       arg_min(node, md5(node || '|' || src || '|' || dst || '|'
+                         || CAST(neg_idx AS VARCHAR))) AS neg_dst
+FROM cand GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
+
+
 def khop_sql(transcripts_path: str, synonyms_path: str, seed_path: str,
              aliases_path: str, k: int = 3, n_seeds: int = 3) -> str:
     """Min-hop reachability oracle: depth-bounded recursive walk from the

@@ -370,3 +370,17 @@ FROM scand c
 JOIN sim sa ON sa.doc_id = c.doc_a
 JOIN sim sb ON sb.doc_id = c.doc_b
 WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3"""
+
+
+# Contrastive negatives over the symmetrized SimHash near-dup graph —
+# the generic sampler body lives in duck.negative_samples_over_sql (md5
+# bucket targeting + arg-min, engine-portable hex parse).
+from .duck import negative_samples_over_sql as _neg_sql  # noqa: E402
+
+DOC_SQL["doc_negative_pairs"] = _neg_sql(
+    "SELECT CAST(doc_a AS VARCHAR) AS src, CAST(doc_b AS VARCHAR) AS dst "
+    "FROM (" + DOC_SQL["dedup_simhash_pairs"] + ") "
+    "UNION "
+    "SELECT CAST(doc_b AS VARCHAR), CAST(doc_a AS VARCHAR) "
+    "FROM (" + DOC_SQL["dedup_simhash_pairs"] + ")",
+    k=3, buckets=8)

@@ -830,6 +830,25 @@ def q_kg_pagerank_personalized(spark, sf_dir):
     return pagerank_personalized(edges, seeds, n_iter=5)
 
 
+def q_doc_negative_pairs(spark, sf_dir):
+    """Deterministic contrastive negatives for similarity-model training:
+    positives are the SimHash near-dup pairs; each gets up to 3 corrupted
+    partners (md5 bucket targeting + md5 arg-min, no RNG) that are NOT
+    near-dups — the (anchor, positive, negative) triplets a contrastive
+    dedup/similarity model trains on.  The edge list is symmetrized first
+    so the positive exclusion is direction-complete.  (The sampler also
+    runs over the canonical KG edge table, but the fixture-scale KG is a
+    complete graph — every corruption collides with a positive — so the
+    registered, non-vacuous instance is the sparse document graph.)"""
+    from .operators.graph import negative_samples
+    p = q_dedup_simhash_pairs(spark, sf_dir)
+    e = p.select(F.col("doc_a").cast("string").alias("src"),
+                 F.col("doc_b").cast("string").alias("dst"))
+    sym = e.unionAll(e.select(F.col("dst").alias("src"),
+                              F.col("src").alias("dst")))
+    return negative_samples(sym, k=3, buckets=8)
+
+
 def q_kg_khop(spark, sf_dir):
     """BFS min-hop reachability (<= 3 hops) from the three highest
     out-degree canonical nodes: the frontier — not the graph — shuffles per
@@ -894,6 +913,7 @@ def registry() -> dict:
         "kg_khop": q_kg_khop,
         "kg_label_timeline": q_kg_label_timeline,
         "kg_entity_timeline": q_kg_entity_timeline,
+        "doc_negative_pairs": q_doc_negative_pairs,
     }
 
 

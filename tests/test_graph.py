@@ -244,3 +244,38 @@ def test_pagerank_personalized_matches_reference(spark):
         assert abs(got[v] - r[v]) < 1e-12, v
     assert got["x"] == 0.0 and got["y"] == 0.0
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_negative_samples_deterministic_reference(spark):
+    """Negative sampling equals the hash-for-hash Python replication:
+    bucket targeting, arg-min pick, positive/self exclusion, and dropped
+    (not resampled) negatives when a bucket only holds collisions."""
+    import hashlib
+    from arekit_r335_spark.operators.graph import negative_samples
+    e = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("c", "d")]
+    df = spark.createDataFrame(e, "src string, dst string")
+    B, K = 2, 3
+
+    def hexint(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    nodes = sorted({u for t in e for u in t})
+    buck = {n: hexint(n) % B for n in nodes}
+    ed = set(e)
+    expect = {}
+    for (s, t) in ed:
+        for i in range(K):
+            tb = hexint(f"{s}|{t}|{i}") % B
+            cands = [n for n in nodes
+                     if buck[n] == tb and n != s and n != t
+                     and (s, n) not in ed]
+            if cands:
+                expect[(s, t, i)] = min(
+                    cands, key=lambda n: hashlib.md5(
+                        f"{n}|{s}|{t}|{i}".encode()).hexdigest())
+
+    got = {(r.src, r.dst, r.neg_idx): r.neg_dst
+           for r in negative_samples(df, k=K, buckets=B).collect()}
+    assert got == expect and len(expect) > 0
+    for (s, t, i), n in got.items():
+        assert (s, n) not in ed and n != s and n != t
