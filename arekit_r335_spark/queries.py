@@ -734,6 +734,25 @@ def q_kg_cooccurrence(spark, sf_dir):
     return _cooccurrence(spark, sf_dir)
 
 
+def q_kg_related_entities(spark, sf_dir):
+    """The "entity page" query: top-3 most-related entities per canonical
+    node, ranked by co-occurrence lift (ties: support desc, then name).
+    The window partitions by entity — no global ordering anywhere — and
+    the symmetrized pair list is exactly 2x the co-occurrence output."""
+    from pyspark.sql import Window
+    co = _cooccurrence(spark, sf_dir)
+    sym = (co.select(F.col("e_a").alias("entity"),
+                     F.col("e_b").alias("other"), "n_pair", "lift")
+           .unionAll(co.select(F.col("e_b").alias("entity"),
+                               F.col("e_a").alias("other"),
+                               "n_pair", "lift")))
+    w = Window.partitionBy("entity").orderBy(
+        F.desc("lift"), F.desc("n_pair"), F.asc("other"))
+    return (sym.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3)
+            .select("entity", "other", "n_pair", "lift", "rank"))
+
+
 def q_kg_triangles(spark, sf_dir):
     """Triangle enumeration over the co-occurrence graph (support >= 2),
     via degree-ordered edge orientation (Suri & Vassilvitskii, WWW'11):
@@ -914,6 +933,7 @@ def registry() -> dict:
         "kg_label_timeline": q_kg_label_timeline,
         "kg_entity_timeline": q_kg_entity_timeline,
         "doc_negative_pairs": q_doc_negative_pairs,
+        "kg_related_entities": q_kg_related_entities,
     }
 
 
@@ -999,6 +1019,19 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict:
             tr, syn, seed, os.path.join(data_dir, "aliases.parquet")),
         "kg_cooccurrence": duck.cooccurrence_sql(
             tr, syn, os.path.join(data_dir, "aliases.parquet")),
+        "kg_related_entities": (
+            "WITH co AS MATERIALIZED ("
+            + duck.cooccurrence_sql(
+                tr, syn, os.path.join(data_dir, "aliases.parquet"))
+            + ") SELECT entity, other, n_pair, lift,"
+            " CAST(rn AS INT) AS rank FROM ("
+            " SELECT entity, other, n_pair, lift, ROW_NUMBER() OVER ("
+            " PARTITION BY entity ORDER BY lift DESC, n_pair DESC, other)"
+            " AS rn FROM ("
+            " SELECT e_a AS entity, e_b AS other, n_pair, lift FROM co"
+            " UNION ALL"
+            " SELECT e_b, e_a, n_pair, lift FROM co))"
+            " WHERE rn <= 3 ORDER BY entity, rn"),
         "kg_triangles": duck.triangles_sql(
             tr, syn, os.path.join(data_dir, "aliases.parquet")),
         "kg_pagerank": duck.pagerank_sql(
