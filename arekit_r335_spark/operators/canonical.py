@@ -27,9 +27,17 @@ from pyspark.sql import functions as F
 
 
 def connected_components(edges: DataFrame, max_iter: int = 25,
-                         salt: int = 16) -> DataFrame:
+                         salt: int = 16, check_every: int = 3) -> DataFrame:
     """edges(src, dst) [string node ids, undirected interpretation] ->
-    (node, component) with component = min node id of the component."""
+    (node, component) with component = min node id of the component.
+
+    The fixpoint test (a ``limit(1).count()`` driver action) runs every
+    ``check_every`` iterations, not every iteration: min-label propagation
+    is idempotent past the fixpoint, so overshooting by <= check_every-1
+    no-op iterations is semantically free and cuts the per-iteration driver
+    round-trips 3x on deep alias chains (round-3 verdict item 9).  Alias
+    graphs have tiny diameters, so the common case is ONE check at
+    iteration 3 instead of three."""
     sym = (edges.selectExpr("src AS a", "dst AS b")
            .unionByName(edges.selectExpr("dst AS a", "src AS b"))
            .filter(F.col("a") != F.col("b"))
@@ -41,7 +49,7 @@ def connected_components(edges: DataFrame, max_iter: int = 25,
             .withColumn("component", F.col("node"))
             .localCheckpoint())
 
-    for _ in range(max_iter):
+    for it in range(max_iter):
         # neighbor's current component flows across each edge
         nbr = (sym.join(comp.withColumnRenamed("node", "b")
                         .withColumnRenamed("component", "nbr_comp"), "b")
@@ -62,13 +70,15 @@ def connected_components(edges: DataFrame, max_iter: int = 25,
                            .alias("component"))
                    .localCheckpoint())
 
-        changed = (updated.alias("u")
-                   .join(comp.alias("c"), "node")
-                   .filter(F.col("u.component") != F.col("c.component"))
-                   .limit(1).count())
+        prev = comp
         comp = updated
-        if changed == 0:
-            break
+        if (it + 1) % check_every == 0 or it == max_iter - 1:
+            changed = (updated.alias("u")
+                       .join(prev.alias("c"), "node")
+                       .filter(F.col("u.component") != F.col("c.component"))
+                       .limit(1).count())
+            if changed == 0:
+                break
     return comp
 
 

@@ -295,8 +295,17 @@ def khop_reachability(edges: DataFrame, k: int = 3,
     return visited
 
 
+def buckets_for_nodes(n_nodes: int, target_bucket_nodes: int = 16) -> int:
+    """N-derived bucket count for :func:`negative_samples` — the
+    ``dims_for_corpus`` discipline (round-3 verdict item 3): ~16-node
+    buckets keep the candidate-join fan-out constant as |V| grows."""
+    import math
+    return max(2, math.ceil(n_nodes / target_bucket_nodes))
+
+
 def negative_samples(edges: DataFrame, k: int = 3,
-                     buckets: int | None = None) -> DataFrame:
+                     buckets: int | None = None,
+                     probes: int = 2) -> DataFrame:
     """Deterministic negative sampling for KG-embedding training (TransE /
     DistMult-style corruption): for each positive edge (src, dst) emit up
     to ``k`` corrupted tails (src, neg_dst) that are NOT true edges.
@@ -307,21 +316,29 @@ def negative_samples(edges: DataFrame, k: int = 3,
     md5(src|dst|i) and takes the bucket member minimizing
     md5(node|src|dst|i), after dropping self/positive collisions.
 
-    Scale shape: candidates are k*|E| rows joined to one bucket each
-    (~|V|/buckets nodes), so with buckets ~ |V|/c the join stays linear in
+    Full-collision buckets RETRY instead of dropping (round-3 verdict item
+    7): probe p targets bucket (md5(src|dst|i) + p) % buckets — linear
+    probing, so ``probes=buckets`` is exhaustive and guarantees exactly k
+    negatives whenever |V| permits — and the accepted node minimizes the
+    lexicographic key (probe, md5), i.e. the first probe level with any
+    valid member wins.  The default ``probes=2`` bounds the fan-out at 2x
+    while cutting the residual drop rate from the per-bucket collision
+    probability c to ~c^2.
+
+    Scale shape: candidates are probes*k*|E| rows joined to one bucket each
+    (~|V|/buckets nodes), so with buckets ~ |V|/16 the join stays linear in
     |E|; the arg-min aggregate is map-side combinable and the positive
-    filter is one partitioned anti-join against the edge list.  When a
-    bucket yields only collisions the negative is dropped, not resampled —
-    the undercount is bounded and documented rather than hidden behind a
-    driver loop.  ``buckets=None`` derives ~16-node buckets from the node
-    count (one dictionary-sized action, like ``pagerank``'s N)."""
-    import math
+    filter is one partitioned anti-join against the edge list.
+    ``buckets=None`` derives ~16-node buckets from the node count (one
+    dictionary-sized action, like ``pagerank``'s N — pass an explicit count
+    from table metadata to avoid it)."""
     ed = edges.select("src", "dst").distinct().localCheckpoint(eager=False)
     nodes = (ed.select(F.col("src").alias("node"))
              .unionAll(ed.select(F.col("dst").alias("node")))
              .distinct())
     if buckets is None:
-        buckets = max(2, math.ceil(nodes.count() / 16))
+        buckets = buckets_for_nodes(nodes.count())
+    probes = min(probes, buckets)
 
     def hexint(c):
         return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
@@ -333,16 +350,23 @@ def negative_samples(edges: DataFrame, k: int = 3,
                 F.explode(F.array(*[F.lit(i) for i in range(k)]))
                 .alias("neg_idx"))
             .withColumn(
+                "probe",
+                F.explode(F.array(*[F.lit(p) for p in range(probes)])))
+            .withColumn(
                 "bucket",
-                hexint(F.concat_ws("|", "src", "dst",
-                                   F.col("neg_idx").cast("string")))
-                % buckets)
+                (hexint(F.concat_ws("|", "src", "dst",
+                                    F.col("neg_idx").cast("string")))
+                 + F.col("probe")) % buckets)
             .join(nb, "bucket")
             .filter((F.col("node") != F.col("src"))
                     & (F.col("node") != F.col("dst")))
             .join(ed.select("src", F.col("dst").alias("node")),
                   ["src", "node"], "left_anti"))
-    key = F.md5(F.concat_ws("|", "node", "src", "dst",
-                            F.col("neg_idx").cast("string")))
+    # composite arg-min key: zero-padded probe level then md5 — string
+    # concatenation makes the (probe, hash) order lexicographic, identical
+    # in Spark and DuckDB (probe < buckets <= 10^6 fits 7 digits)
+    key = F.concat(F.lpad(F.col("probe").cast("string"), 7, "0"),
+                   F.md5(F.concat_ws("|", "node", "src", "dst",
+                                     F.col("neg_idx").cast("string"))))
     return (cand.groupBy("src", "dst", "neg_idx")
             .agg(F.min_by("node", key).alias("neg_dst")))

@@ -196,8 +196,24 @@ def build_samples(triples_pos: DataFrame, parsed_terms: DataFrame,
     return j.select(*cols)
 
 
+def bits_for_corpus(n_rows: int, target_bucket_rows: int = 4096,
+                    max_bits: int = 20) -> int:
+    """Bucket-bit count scaled with the corpus — the ``dims_for_corpus``
+    log2 discipline (round-3 verdict item 3): ~log2(N / target rows) bits
+    keep the per-(label, bucket) window bounded by ~target rows as N grows.
+    Floor 6 keeps small fixtures multi-bucket (and byte-identical to the
+    former fixed default); the cap bounds the prefix-sum table at
+    labels x 2^20 rows (~a 4-trillion-row corpus at the default target)."""
+    import math
+    if n_rows <= target_bucket_rows:
+        return 6
+    return min(max_bits, max(6, math.ceil(math.log2(
+        n_rows / target_bucket_rows))))
+
+
 def balance_by_label(samples: DataFrame, seed: int = 42,
-                     bucket_bits: int = 6) -> DataFrame:
+                     bucket_bits: int | None = None,
+                     n_rows: int | None = None) -> DataFrame:
     """A3 — oversample every label class to the majority size
     (``PandasBasedRowsStorage._balance``, ``pandas_based.py:63-79``), made
     deterministic: each row is repeated ceil/floor-deterministically via a
@@ -214,9 +230,19 @@ def balance_by_label(samples: DataFrame, seed: int = 42,
     identical to the single-window formulation; per-bucket counts
     (labels x 2^bucket_bits rows, metadata-sized) prefix-sum into bucket
     rank offsets, and the in-bucket window is bounded by
-    ~corpus / (labels * 2^bucket_bits) rows. Raise ``bucket_bits`` with
-    corpus size."""
+    ~corpus / (labels * 2^bucket_bits) rows.
+
+    ``bucket_bits=None`` derives the bit count from the corpus size via
+    ``bits_for_corpus`` — pass ``n_rows`` (from table metadata, catalog
+    stats, or an upstream-known proxy like the turn count; the log2 rule
+    is insensitive to constant-factor error) to avoid the fallback
+    ``count()`` action on the samples plan. The SELECTION is bit-count
+    invariant (bucketing by a monotone hash prefix reproduces the global
+    hash order at any width), so any honest N gives identical output."""
     from pyspark.sql import Window
+    if bucket_bits is None:
+        bucket_bits = bits_for_corpus(
+            n_rows if n_rows is not None else samples.count())
     counts = samples.groupBy("label").agg(F.count("*").alias("n"))
     mx = counts.agg(F.max("n").alias("mx"))
     plan = counts.crossJoin(mx).select(

@@ -1511,6 +1511,10 @@ def pagerank_sql(transcripts_path: str, synonyms_path: str, seed_path: str,
     weight = sum(n_ops) per (src, dst), rank split by out-strength."""
     edges = canonical_edges_sql(transcripts_path, synonyms_path,
                                 seed_path, aliases_path)
+    # repr-exact damping literals like pagerank_personalized_sql: an in-SQL
+    # ``(1.0 - 0.85)`` is DECIMAL-exact 0.15 in DuckDB while Spark ships the
+    # Python double 1.0-0.85 = 0.15000000000000002 — a one-ulp divergence
+    one_minus_d, d = repr(1.0 - damping), repr(damping)
     ed_body = ("SELECT src, dst, CAST(SUM(n_ops) AS DOUBLE) AS w "
                "FROM e GROUP BY 1, 2" if weighted else
                "SELECT src, dst, CAST(1.0 AS DOUBLE) AS w "
@@ -1544,9 +1548,9 @@ contrib{p} AS MATERIALIZED (
 ),
 r{k} AS MATERIALIZED (
   SELECT nd.node,
-         (1.0 - {damping}) / (SELECT n FROM nn)
-         + {damping} * (COALESCE(c.m, 0)
-                        + (SELECT dm FROM dang{p}) / (SELECT n FROM nn))
+         {one_minus_d} / (SELECT n FROM nn)
+         + {d} * (COALESCE(c.m, 0)
+                  + (SELECT dm FROM dang{p}) / (SELECT n FROM nn))
            AS rank
   FROM nodes nd LEFT JOIN contrib{p} c ON c.node = nd.node
 )"""
@@ -1614,36 +1618,54 @@ SELECT node, rank FROM r{n_iter} ORDER BY node"""
 
 
 def negative_samples_over_sql(edges_sql: str, k: int = 3,
-                              buckets: int = 4) -> str:
+                              buckets: int | None = None,
+                              probes: int = 2) -> str:
     """Deterministic negative-sampling oracle over ANY (src, dst) edge
-    SQL: identical md5 bucket targeting and md5 arg-min as the Spark
-    operator (the hex-prefix base-16 parse is the engine-portable pattern
-    proven by folding_assign), positives excluded via NOT EXISTS."""
+    SQL: identical md5 bucket targeting, linear-probe retries and
+    (probe, md5) arg-min as the Spark operator (the hex-prefix base-16
+    parse is the engine-portable pattern proven by folding_assign),
+    positives excluded via NOT EXISTS.  ``buckets=None`` computes the same
+    N-derived count as ``graph.buckets_for_nodes`` inside SQL (a scalar
+    subquery modulus), so both engines always agree on the bucket layout."""
+    if buckets is None:
+        bexpr = "(SELECT b FROM bcnt)"
+        pexpr = f"LEAST({probes}, (SELECT b FROM bcnt))"
+    else:
+        bexpr = str(buckets)
+        pexpr = str(min(probes, buckets))
 
     def hexint(expr: str) -> str:
-        return (f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
-                f" % {buckets}")
+        return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
 
     return f"""
 WITH e AS MATERIALIZED ({edges_sql}),
 ed AS MATERIALIZED (SELECT DISTINCT src, dst FROM e),
 nodes AS MATERIALIZED (
   SELECT src AS node FROM ed UNION SELECT dst AS node FROM ed),
+bcnt AS MATERIALIZED (
+  SELECT GREATEST(2, CAST(CEIL(COUNT(*) / 16.0) AS BIGINT)) AS b
+  FROM nodes),
 nb AS MATERIALIZED (
-  SELECT node, {hexint('node')} AS bucket FROM nodes),
+  SELECT node, {hexint('node')} % {bexpr} AS bucket FROM nodes),
 ix AS (SELECT unnest(generate_series(0, {k - 1})) AS neg_idx),
+pr AS (SELECT unnest(generate_series(0, {probes - 1})) AS probe
+       ),
 cand AS (
-  SELECT ed.src, ed.dst, CAST(ix.neg_idx AS INT) AS neg_idx, nb.node
-  FROM ed CROSS JOIN ix
+  SELECT ed.src, ed.dst, CAST(ix.neg_idx AS INT) AS neg_idx,
+         pr.probe, nb.node
+  FROM ed CROSS JOIN ix CROSS JOIN pr
   JOIN nb ON nb.bucket =
-    {hexint("ed.src || '|' || ed.dst || '|' || CAST(ix.neg_idx AS VARCHAR)")}
-  WHERE nb.node <> ed.src AND nb.node <> ed.dst
+    ({hexint("ed.src || '|' || ed.dst || '|' || CAST(ix.neg_idx AS VARCHAR)")}
+     + pr.probe) % {bexpr}
+  WHERE pr.probe < {pexpr}
+    AND nb.node <> ed.src AND nb.node <> ed.dst
     AND NOT EXISTS (SELECT 1 FROM ed e2
                     WHERE e2.src = ed.src AND e2.dst = nb.node)
 )
 SELECT src, dst, neg_idx,
-       arg_min(node, md5(node || '|' || src || '|' || dst || '|'
-                         || CAST(neg_idx AS VARCHAR))) AS neg_dst
+       arg_min(node, lpad(CAST(probe AS VARCHAR), 7, '0')
+                     || md5(node || '|' || src || '|' || dst || '|'
+                            || CAST(neg_idx AS VARCHAR))) AS neg_dst
 FROM cand GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
 
 

@@ -378,9 +378,11 @@ WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3"""
 from .duck import negative_samples_over_sql as _neg_sql  # noqa: E402
 
 DOC_SQL["doc_negative_pairs"] = _neg_sql(
+    # the SimHash scan is MATERIALIZED once and unioned twice — the inlined
+    # two-copy form is the known DuckDB CTE-inlining cost pattern (ADVICE r3)
+    "WITH sp AS MATERIALIZED (" + DOC_SQL["dedup_simhash_pairs"] + ") "
     "SELECT CAST(doc_a AS VARCHAR) AS src, CAST(doc_b AS VARCHAR) AS dst "
-    "FROM (" + DOC_SQL["dedup_simhash_pairs"] + ") "
+    "FROM sp "
     "UNION "
-    "SELECT CAST(doc_b AS VARCHAR), CAST(doc_a AS VARCHAR) "
-    "FROM (" + DOC_SQL["dedup_simhash_pairs"] + ")",
-    k=3, buckets=8)
+    "SELECT CAST(doc_b AS VARCHAR), CAST(doc_a AS VARCHAR) FROM sp",
+    k=3)

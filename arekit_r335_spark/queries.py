@@ -667,7 +667,14 @@ def q_kg_balanced_counts(spark, sf_dir):
     count == majority-class size exactly (the ceil/floor deterministic
     repeats sum to the majority count), distinct source ids preserved."""
     from .operators.samples import balance_by_label
-    balanced = balance_by_label(q_kg_samples(spark, sf_dir))
+    data_dir, _ = _kg(spark, sf_dir)
+    # n_rows proxy = the transcript turn count from parquet footer metadata
+    # (samples are ~1 per turn-pair context; the log2 bit rule only needs
+    # the order of magnitude) — no count() job on the derived samples plan
+    import pyarrow.parquet as pq
+    n_turns = pq.ParquetFile(os.path.join(
+        data_dir, "transcripts.parquet")).metadata.num_rows
+    balanced = balance_by_label(q_kg_samples(spark, sf_dir), n_rows=n_turns)
     return balanced.groupBy("label").agg(
         F.count("*").cast("long").alias("n_out"),
         F.countDistinct("id").cast("long").alias("n_src_ids"))
@@ -865,7 +872,9 @@ def q_doc_negative_pairs(spark, sf_dir):
                  F.col("doc_b").cast("string").alias("dst"))
     sym = e.unionAll(e.select(F.col("dst").alias("src"),
                               F.col("src").alias("dst")))
-    return negative_samples(sym, k=3, buckets=8)
+    # buckets=None: the N-derived default (buckets_for_nodes) — the oracle
+    # computes the same ceil(|V|/16) inside SQL, so both engines agree
+    return negative_samples(sym, k=3)
 
 
 def q_kg_khop(spark, sf_dir):

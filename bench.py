@@ -58,19 +58,21 @@ def run_query_quiet(spark, fn, sf_dir: str, attempts: int = 3,
     scaling protocol's quiet-iteration rule.  This sandbox takes
     multi-minute hypervisor steal bursts that inflate identical-binary
     walls 2-3x (measured 24.1s vs 52.7s back-to-back full-suite runs);
-    accept the first attempt whose /proc/stat steal fraction stays under
-    the threshold, otherwise keep the minimum of up to ``attempts``.
-    Returns (seconds, steal fraction of the accepted attempt)."""
+    accept THE FIRST attempt whose /proc/stat steal fraction stays under
+    the threshold — not the min over attempts, which under steal would
+    conflate steal mitigation with warm-OS/page-cache retry speedup
+    (ADVICE r3) — and only fall back to the minimum when no attempt is
+    quiet.  Returns (seconds, steal fraction of the accepted attempt)."""
     best, best_steal = float("inf"), 1.0
     for _ in range(attempts):
         j0, s0 = _cpu_stat()
         dt = run_query(spark, fn, sf_dir)
         j1, s1 = _cpu_stat()
         steal = (s1 - s0) / max(1, j1 - j0)
+        if steal < steal_thresh:
+            return dt, steal
         if dt < best:
             best, best_steal = dt, steal
-        if steal < steal_thresh:
-            break
     return best, best_steal
 
 
@@ -266,8 +268,9 @@ def main() -> None:
         "turns_per_sec": round(turns / flag, 1) if flag > 0 else None,
         "protocol": {"warmup": "one sf0.001 flagship run",
                      "shuffle_dir": "tmpfs" if _tmpfs_local_dir() else "disk",
-                     "timing": "per-query best of <=3 attempts, accepted "
-                               "early when /proc/stat steal <5%",
+                     "timing": "per-query first attempt with /proc/stat "
+                               "steal <5% (<=3 attempts; min-of-attempts "
+                               "fallback only when none is quiet)",
                      "steal_frac": steals},
     }
 

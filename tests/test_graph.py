@@ -246,15 +246,11 @@ def test_pagerank_personalized_matches_reference(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-9
 
 
-def test_negative_samples_deterministic_reference(spark):
-    """Negative sampling equals the hash-for-hash Python replication:
-    bucket targeting, arg-min pick, positive/self exclusion, and dropped
-    (not resampled) negatives when a bucket only holds collisions."""
+def _neg_expect(e, B, K, probes):
+    """Hash-for-hash Python replication of ``negative_samples``: linear
+    bucket probing, first probe level with a valid member wins, md5
+    arg-min inside the level, positive/self exclusion."""
     import hashlib
-    from arekit_r335_spark.operators.graph import negative_samples
-    e = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("c", "d")]
-    df = spark.createDataFrame(e, "src string, dst string")
-    B, K = 2, 3
 
     def hexint(s):
         return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
@@ -265,17 +261,56 @@ def test_negative_samples_deterministic_reference(spark):
     expect = {}
     for (s, t) in ed:
         for i in range(K):
-            tb = hexint(f"{s}|{t}|{i}") % B
-            cands = [n for n in nodes
-                     if buck[n] == tb and n != s and n != t
-                     and (s, n) not in ed]
-            if cands:
-                expect[(s, t, i)] = min(
-                    cands, key=lambda n: hashlib.md5(
-                        f"{n}|{s}|{t}|{i}".encode()).hexdigest())
+            base = hexint(f"{s}|{t}|{i}")
+            for p in range(min(probes, B)):
+                cands = [n for n in nodes
+                         if buck[n] == (base + p) % B and n != s and n != t
+                         and (s, n) not in ed]
+                if cands:
+                    expect[(s, t, i)] = min(
+                        cands, key=lambda n: hashlib.md5(
+                            f"{n}|{s}|{t}|{i}".encode()).hexdigest())
+                    break
+    return ed, expect
 
-    got = {(r.src, r.dst, r.neg_idx): r.neg_dst
-           for r in negative_samples(df, k=K, buckets=B).collect()}
-    assert got == expect and len(expect) > 0
+
+def test_negative_samples_deterministic_reference(spark):
+    """Negative sampling equals the hash-for-hash Python replication:
+    bucket targeting, linear-probe retries, arg-min pick, positive/self
+    exclusion, and dropped negatives once the probe budget is spent."""
+    from arekit_r335_spark.operators.graph import negative_samples
+    e = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("c", "d")]
+    df = spark.createDataFrame(e, "src string, dst string")
+    B, K = 2, 3
+    for probes in (1, 2):
+        ed, expect = _neg_expect(e, B, K, probes)
+        got = {(r.src, r.dst, r.neg_idx): r.neg_dst
+               for r in negative_samples(df, k=K, buckets=B,
+                                         probes=probes).collect()}
+        assert got == expect and len(expect) > 0
+        for (s, t, i), n in got.items():
+            assert (s, n) not in ed and n != s and n != t
+    # probes=1 on this fixture drops at least one negative that probes=2
+    # recovers (the retry is doing real work)
+    assert len(_neg_expect(e, B, K, 1)[1]) < len(_neg_expect(e, B, K, 2)[1])
+
+
+def test_negative_samples_exhaustive_probes_dense_graph(spark):
+    """Verdict r3 item 7: with probes=buckets (exhaustive linear probing) a
+    dense graph yields EXACTLY k negatives per edge whenever |V| permits —
+    here every edge of a near-complete directed graph has exactly one valid
+    corruption target, which some base buckets miss without retries."""
+    from arekit_r335_spark.operators.graph import negative_samples
+    nodes = [f"n{i}" for i in range(6)]
+    # complete digraph minus one out-neighbor per source: (s, skip(s)) is
+    # missing, so skip(s) is the single valid negative for every s-edge
+    skip = {s: nodes[(i + 1) % len(nodes)] for i, s in enumerate(nodes)}
+    e = [(s, t) for s in nodes for t in nodes
+         if s != t and t != skip[s]]
+    df = spark.createDataFrame(e, "src string, dst string")
+    B, K = 3, 2
+    rows = negative_samples(df, k=K, buckets=B, probes=B).collect()
+    got = {(r.src, r.dst, r.neg_idx): r.neg_dst for r in rows}
+    assert len(got) == len(e) * K          # exactly k per edge, none dropped
     for (s, t, i), n in got.items():
-        assert (s, n) not in ed and n != s and n != t
+        assert n == skip[s]                # the unique valid corruption
