@@ -30,7 +30,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 SEED = 42
-DATA_VERSION = 5  # bump when generated fixture contents change
+DATA_VERSION = 6  # bump when generated fixture contents change
 
 # ---------------------------------------------------------------- vocabularies
 
@@ -78,13 +78,40 @@ ENTITY_TYPES = {
 # against", "push back against") exercise the greedy longest-match scan past
 # span 2 in BOTH engines (the DuckDB oracle walks them via a recursive CTE).
 FRAMES: dict[str, dict] = {
-    "f_attack":  {"variants": ["attack", "attacks", "strike hard against"], "polarity": "neg", "prob": 1.0},
-    "f_support": {"variants": ["support", "supports", "stand with"], "polarity": "pos", "prob": 1.0},
-    "f_blame":   {"variants": ["blame", "blames", "point finger"], "polarity": "neg", "prob": 0.9},
-    "f_praise":  {"variants": ["praise", "praises"], "polarity": "pos", "prob": 0.9},
-    "f_threat":  {"variants": ["threaten", "threatens", "hold a grudge against"], "polarity": "neg", "prob": 1.0},
-    "f_agree":   {"variants": ["agree with", "agrees with"], "polarity": "pos", "prob": 0.8},
-    "f_oppose":  {"variants": ["oppose", "opposes", "push back against"], "polarity": "neg", "prob": 0.8},
+    # ``effects`` use the reference's '+'/'-' sign format
+    # (``rusentiframes/labels_fmt.py:15-22`` RuSentiFramesEffectLabels-
+    # Formatter), ``states`` the pos/neg word format, both as
+    # [role, label, prob] triples keyed per role exactly like
+    # ``collection.py:86-115`` get_frame_states/get_frame_effects; ``roles``
+    # mirrors get_frame_roles. f_agree carries NO effects and f_praise NO
+    # states — the missing-key paths (__check_has_* returning []) are part
+    # of the reference contract.
+    "f_attack":  {"variants": ["attack", "attacks", "strike hard against"], "polarity": "neg", "prob": 1.0,
+                  "roles": {"a0": "attacker", "a1": "victim"},
+                  "effects": [["a0", "-", 0.7], ["a1", "-", 1.0]],
+                  "states": [["a1", "neg", 1.0]]},
+    "f_support": {"variants": ["support", "supports", "stand with"], "polarity": "pos", "prob": 1.0,
+                  "roles": {"a0": "supporter", "a1": "beneficiary"},
+                  "effects": [["a1", "+", 1.0]],
+                  "states": [["a0", "pos", 0.7]]},
+    "f_blame":   {"variants": ["blame", "blames", "point finger"], "polarity": "neg", "prob": 0.9,
+                  "roles": {"a0": "accuser", "a1": "accused"},
+                  "effects": [["a1", "-", 0.9]],
+                  "states": [["a1", "neg", 0.9]]},
+    "f_praise":  {"variants": ["praise", "praises"], "polarity": "pos", "prob": 0.9,
+                  "roles": {"a0": "praiser", "a1": "praised"},
+                  "effects": [["a1", "+", 0.9]]},
+    "f_threat":  {"variants": ["threaten", "threatens", "hold a grudge against"], "polarity": "neg", "prob": 1.0,
+                  "roles": {"a0": "threatener", "a1": "threatened"},
+                  "effects": [["a0", "-", 0.5], ["a1", "-", 1.0]],
+                  "states": [["a1", "neg", 0.8]]},
+    "f_agree":   {"variants": ["agree with", "agrees with"], "polarity": "pos", "prob": 0.8,
+                  "roles": {"a0": "agreer", "a1": "position"},
+                  "states": [["a0", "pos", 0.6]]},
+    "f_oppose":  {"variants": ["oppose", "opposes", "push back against"], "polarity": "neg", "prob": 0.8,
+                  "roles": {"a0": "opponent", "a1": "opposed"},
+                  "effects": [["a1", "-", 0.8]],
+                  "states": [["a0", "neg", 0.5]]},
 }
 
 NEG_WORDS = ["not", "no", "never"]

@@ -14,21 +14,41 @@ from dataclasses import dataclass
 import pandas as pd
 
 
+# the reference's two string-label formats (rusentiframes/labels_fmt.py):
+# polarity/state labels are pos/neg words, effect labels are '+'/'-' signs
+EFFECT_STOL = {"+": "pos", "-": "neg"}
+
+
 @dataclass(frozen=True)
 class FramesLexicon:
-    """variant phrase (lowercase) -> frame_id, plus frame polarities.
+    """variant phrase (lowercase) -> frame_id, plus frame polarities and
+    per-role effect/state labels.
 
     Reference: ``FrameVariantsCollection.fill_from_iterable``
     (``common/frames/variants/collection.py:25-45``) keyed by variant value;
     ``max_variant_len`` as in ``items/text/frames.py:16`` (max #terms over
     variants). Polarity = the a0->a1 connotation the reference looks up in
-    ``contrib/source/rusentiframes/collection.py:56-66``.
+    ``contrib/source/rusentiframes/collection.py:56-66``. ``effects`` /
+    ``states`` are the per-role [role, label, prob] triples of
+    ``get_frame_effects`` / ``get_frame_states`` (``collection.py:86-115``;
+    effect '+'/'-' signs normalized to pos/neg via the
+    ``RuSentiFramesEffectLabelsFormatter`` mapping, ``labels_fmt.py:15-22``);
+    frames without the key yield empty lists, like ``__check_has_*``.
+    ``roles`` mirrors ``get_frame_roles`` (role -> description).
     """
 
     variants: dict[str, str]
     max_variant_len: int
     polarity: dict[str, str]      # frame_id -> pos|neg
     prob: dict[str, float]
+    effects: dict[str, tuple] = None    # frame_id -> ((role, label, prob),)
+    states: dict[str, tuple] = None
+    roles: dict[str, dict] = None       # frame_id -> {role: description}
+
+    def __post_init__(self):
+        for f in ("effects", "states", "roles"):
+            if getattr(self, f) is None:
+                object.__setattr__(self, f, {})
 
     @staticmethod
     def from_json(path: str) -> "FramesLexicon":
@@ -37,6 +57,9 @@ class FramesLexicon:
         variants: dict[str, str] = {}
         polarity: dict[str, str] = {}
         prob: dict[str, float] = {}
+        effects: dict[str, tuple] = {}
+        states: dict[str, tuple] = {}
+        roles: dict[str, dict] = {}
         for fid, spec in raw.items():
             for v in spec["variants"]:
                 # later registration overwrites an existed variant only when
@@ -44,8 +67,22 @@ class FramesLexicon:
                 variants.setdefault(v.lower(), fid)
             polarity[fid] = spec["polarity"]
             prob[fid] = float(spec.get("prob", 1.0))
+            effects[fid] = tuple(
+                (r, EFFECT_STOL[lab], float(p))
+                for r, lab, p in spec.get("effects", []))
+            states[fid] = tuple(
+                (r, lab, float(p)) for r, lab, p in spec.get("states", []))
+            roles[fid] = dict(spec.get("roles", {}))
         max_len = max((len(v.split()) for v in variants), default=0)
-        return FramesLexicon(variants, max_len, polarity, prob)
+        return FramesLexicon(variants, max_len, polarity, prob,
+                             effects, states, roles)
+
+    def role_effect_map(self, role: str = "a1") -> dict[str, str]:
+        """frame_id -> the given role's effect label (frames without an
+        effect for that role are absent — the annotator's null-lookup path,
+        like ``try_get_frame_polarity`` returning None)."""
+        return {fid: lab for fid, effs in self.effects.items()
+                for r, lab, _p in effs if r == role}
 
     @staticmethod
     def empty() -> "FramesLexicon":

@@ -311,12 +311,68 @@ FROM fhits
 ORDER BY conv_id, turn_idx, pos_in_turn""")
 
 
-def _frames_doc_ops_cte(seed_path: str, dist_bound: int = 50,
-                        no_label: str = "nolabel") -> str:
-    """cand/votes/doc_ops CTEs on top of ``_frames_kg_cte`` (frames-mode
-    mentions + hits): the three-annotator union with priorities 0/1/2."""
-    return f""",
-cand AS (
+def frame_role_labels_sql(transcripts_path: str, synonyms_path: str,
+                          frames_lex,
+                          negation_words: tuple[str, ...]) -> str:
+    """S5 completion oracle: every frame hit exploded over the lexicon's
+    per-role effect/state annotations (``get_frame_effects`` /
+    ``get_frame_states``, ``rusentiframes/collection.py:86-115``) — a
+    VALUES literal join on frame_id; probs integer-exact as percent."""
+    rows = []
+    for kind, m in (("effect", frames_lex.effects),
+                    ("state", frames_lex.states)):
+        for fid, entries in sorted(m.items()):
+            for role, lab, p in entries:
+                rows.append(f"('{_sq(fid)}', '{kind}', '{_sq(role)}', "
+                            f"'{_sq(lab)}', {int(round(p * 100))})")
+    assert rows, "frame_role_labels oracle needs effect/state entries"
+    return (_frames_kg_cte(transcripts_path, synonyms_path, frames_lex,
+                           negation_words) + f""",
+fann(frame_id, kind, role, label, prob_pct) AS (VALUES {", ".join(rows)})
+SELECT h.conv_id, h.turn_idx, h.pos_in_turn, h.ind_in_doc, h.frame_id,
+       h.negated, a.kind, a.role, a.label, CAST(a.prob_pct AS INT) AS prob_pct
+FROM fhits h JOIN fann a ON a.frame_id = h.frame_id
+ORDER BY h.conv_id, h.turn_idx, h.pos_in_turn, a.kind, a.role""")
+
+
+def doc_opinions_effect_sql(transcripts_path: str, synonyms_path: str,
+                            frames_lex,
+                            negation_words: tuple[str, ...],
+                            role: str = "a1",
+                            dist_bound: int = 50) -> str:
+    """The effect-labeled distant-supervision variant: the J4b vote uses the
+    given role's EFFECT label (how the theme is affected) instead of the
+    a0->a1 polarity; frames without an effect for that role contribute no
+    vote (the ``try_provide`` -> None path). Single-annotator output."""
+    eff_rows = [f"('{_sq(fid)}', '{_sq(lab)}')"
+                for fid, lab in sorted(
+                    frames_lex.role_effect_map(role).items())]
+    assert eff_rows, "doc_opinions_effect oracle needs role effects"
+    return (_frames_kg_cte(transcripts_path, synonyms_path, frames_lex,
+                           negation_words) + f""",
+{_cand_cte(dist_bound)},
+feff(frame_id, eff) AS (VALUES {", ".join(eff_rows)}),
+votes AS (
+  SELECT c.conv_id, c.s_group, c.t_group,
+         SUM((CASE WHEN p.eff = 'pos' THEN 1 ELSE -1 END)
+             * (CASE WHEN f.negated THEN -1 ELSE 1 END)) AS vote
+  FROM cand c
+  JOIN fhits f ON f.conv_id = c.conv_id AND f.turn_idx = c.turn_idx
+              AND f.ind_in_doc > c.s_ind AND f.ind_in_doc < c.t_ind
+  JOIN feff p ON p.frame_id = f.frame_id
+  WHERE c.s_ind < c.t_ind AND c.s_group <> c.t_group
+  GROUP BY 1, 2, 3
+)
+SELECT conv_id, s_group, t_group,
+       CASE WHEN vote > 0 THEN 'pos' ELSE 'neg' END AS label
+FROM votes WHERE vote <> 0
+ORDER BY conv_id, s_group, t_group""")
+
+
+def _cand_cte(dist_bound: int = 50) -> str:
+    """The J2/J3 candidate-pair CTE over frames-mode mentions — shared by
+    the three-annotator union and the single-annotator effect variant."""
+    return f"""cand AS (
   SELECT m1.conv_id, m1.turn_idx,
          m1.ent_id AS s_ent_id, m2.ent_id AS t_ent_id,
          m1.ind_in_doc AS s_ind, m2.ind_in_doc AS t_ind,
@@ -326,7 +382,15 @@ cand AS (
     ON m1.conv_id = m2.conv_id AND m1.turn_idx = m2.turn_idx
    AND m1.ent_id <> m2.ent_id
    AND abs(m1.ind_in_doc - m2.ind_in_doc) <= {dist_bound}
-),
+)"""
+
+
+def _frames_doc_ops_cte(seed_path: str, dist_bound: int = 50,
+                        no_label: str = "nolabel") -> str:
+    """cand/votes/doc_ops CTEs on top of ``_frames_kg_cte`` (frames-mode
+    mentions + hits): the three-annotator union with priorities 0/1/2."""
+    return f""",
+{_cand_cte(dist_bound)},
 nolabel_ops AS (
   SELECT DISTINCT conv_id, s_group, t_group,
          '{no_label}' AS label, 2 AS priority

@@ -117,6 +117,55 @@ def q_kg_frame_hits(spark, sf_dir):
                              "ind_in_doc", "frame_id", "negated")
 
 
+def q_kg_frame_effects(spark, sf_dir):
+    """S5 completion — RuSentiFrames role effects/states: every frame hit
+    exploded over the lexicon's per-role annotations (``get_frame_effects``
+    / ``get_frame_states``, ``contrib/source/rusentiframes/collection.py:
+    86-115``; effect '+'/'-' signs normalized via the
+    ``RuSentiFramesEffectLabelsFormatter`` mapping). The annotation table
+    is lexicon-sized -> broadcast hash join; probs ride as exact percent
+    ints. Frames with no annotations (f_agree: no effects; f_praise: no
+    states) simply emit no rows of that kind — the reference's
+    ``__check_has_*`` missing-key contract."""
+    _, inputs = _kg(spark, sf_dir)
+    res = build_triple_pipeline(spark, inputs, PipelineConfig(),
+                                persist=False)
+    lex = FramesLexicon.from_json(inputs.frames)
+    rows = []
+    for kind, m in (("effect", lex.effects), ("state", lex.states)):
+        for fid, entries in sorted(m.items()):
+            for role, lab, p in entries:
+                rows.append((fid, kind, role, lab, int(round(p * 100))))
+    ann = spark.createDataFrame(
+        rows, "frame_id string, kind string, role string, label string, "
+              "prob_pct int")
+    return (res.frames.join(F.broadcast(ann), "frame_id")
+            .select("conv_id", "turn_idx",
+                    F.col("pos_in_turn").cast("long").alias("pos_in_turn"),
+                    "ind_in_doc", "frame_id", "negated",
+                    "kind", "role", "label", "prob_pct"))
+
+
+def q_kg_doc_opinions_effect(spark, sf_dir):
+    """The ``rusentiframes_effect`` EP1 variant: J4b distant supervision
+    voting with the a1-role EFFECT label (how the theme is affected) in
+    place of the a0->a1 polarity; negation still flips the vote
+    (``term_connotation.py:40-41`` discipline) and frames without an a1
+    effect contribute nothing (the ``try_provide`` -> None path —
+    f_agree's hits are live in the plan but voteless). Same relational
+    shape as ``kg_doc_opinions``'s frame annotator: the pair/frame join
+    reuses the conv_id exchange, the effect map is a KB-sized broadcast."""
+    from .operators.connotation import frame_doc_opinions
+    from .operators.pairs import candidate_pairs
+    _, inputs = _kg(spark, sf_dir)
+    cfg = PipelineConfig()
+    res = build_triple_pipeline(spark, inputs, cfg, persist=False)
+    lex = FramesLexicon.from_json(inputs.frames)
+    eff = frame_doc_opinions(candidate_pairs(res.mentions, cfg),
+                             res.frames, lex.role_effect_map("a1"))
+    return eff.select("conv_id", "s_group", "t_group", "label")
+
+
 def q_kg_doc_opinions(spark, sf_dir):
     """Three-annotator doc-opinion union with frames enabled: predefined(0) /
     frame-connotation(1) / nolabel(2)."""
@@ -894,6 +943,8 @@ def registry() -> dict:
         "kg_doc_opinions_noframes": q_kg_doc_opinions_noframes,
         "kg_triples": q_kg_triples,
         "kg_frame_hits": q_kg_frame_hits,
+        "kg_frame_effects": q_kg_frame_effects,
+        "kg_doc_opinions_effect": q_kg_doc_opinions_effect,
         "kg_doc_opinions": q_kg_doc_opinions,
         "kg_canonical_nodes": q_kg_canonical_nodes,
         "knn_bruteforce": q_knn_bruteforce,
@@ -990,6 +1041,10 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict:
             " GROUP BY 1 ORDER BY 1"),
         "kg_frame_hits": duck.frame_hits_sql(tr, syn, frames_lex,
                                              NEGATION_WORDS),
+        "kg_frame_effects": duck.frame_role_labels_sql(tr, syn, frames_lex,
+                                                       NEGATION_WORDS),
+        "kg_doc_opinions_effect": duck.doc_opinions_effect_sql(
+            tr, syn, frames_lex, NEGATION_WORDS),
         "kg_doc_opinions": duck.doc_opinions_frames_sql(tr, syn, seed,
                                                         frames_lex,
                                                         NEGATION_WORDS),
