@@ -1367,7 +1367,29 @@ def canonical_edges_sql(transcripts_path: str, synonyms_path: str,
     base = triples_noframes_sql(transcripts_path, synonyms_path, seed_path)
     prefix = base.split(",\nexpanded AS")[0]
     prefix = prefix.replace("WITH ", "WITH RECURSIVE ", 1)
-    return prefix + f""",
+    return prefix + _canonical_suffix(aliases_path)
+
+
+def canonical_edges_frames_sql(transcripts_path: str, synonyms_path: str,
+                               seed_path: str, aliases_path: str,
+                               frames_lex,
+                               negation_words: tuple[str, ...]) -> str:
+    """FRAMES-mode canonical edge table — the doc_ops CTE is the full
+    three-annotator union (predefined 0 / frame-connotation 1 / nolabel 2)
+    instead of the noframes pair; suffix (alias CC + priority dedup +
+    rollup) identical.  This is what the RUNNER materializes per bucket
+    (``runner.run_bucket`` writes frames-live doc opinions), so the
+    materialized-path queries check against this oracle."""
+    return (_frames_kg_cte(transcripts_path, synonyms_path, frames_lex,
+                           negation_words)
+            + _frames_doc_ops_cte(seed_path)
+            + _canonical_suffix(aliases_path))
+
+
+def _canonical_suffix(aliases_path: str) -> str:
+    """alias CC + priority dedup + (src, dst, label) rollup over a
+    ``doc_ops`` CTE (shared by the noframes and frames variants)."""
+    return f""",
 al AS (
   SELECT COALESCE('g' || CAST(sa.group_id AS VARCHAR),
                   'u:' || lower(trim(a.value_a))) AS src,
@@ -1559,7 +1581,8 @@ ORDER BY 1"""
 
 def pagerank_sql(transcripts_path: str, synonyms_path: str, seed_path: str,
                  aliases_path: str, n_iter: int = 5,
-                 damping: float = 0.85, weighted: bool = False) -> str:
+                 damping: float = 0.85, weighted: bool = False,
+                 edges_sql: str | None = None) -> str:
     """Fixed-iteration PageRank oracle: the update
     r_{k+1}(v) = (1-d)/N + d*(sum_{u->v} r_k(u)/od(u) + dangling_k/N)
     unrolled into one CTE chain per iteration — same literals and operation
@@ -1572,9 +1595,11 @@ def pagerank_sql(transcripts_path: str, synonyms_path: str, seed_path: str,
     the unhinted form never finished at sf0.01.
 
     ``weighted=True`` matches the Spark ``weight_col="n_ops"`` walk: edge
-    weight = sum(n_ops) per (src, dst), rank split by out-strength."""
-    edges = canonical_edges_sql(transcripts_path, synonyms_path,
-                                seed_path, aliases_path)
+    weight = sum(n_ops) per (src, dst), rank split by out-strength.
+    ``edges_sql`` overrides the edge derivation (e.g. the frames-mode
+    canonical edge table for the materialized-sink path)."""
+    edges = edges_sql or canonical_edges_sql(transcripts_path, synonyms_path,
+                                             seed_path, aliases_path)
     # repr-exact damping literals like pagerank_personalized_sql: an in-SQL
     # ``(1.0 - 0.85)`` is DECIMAL-exact 0.15 in DuckDB while Spark ships the
     # Python double 1.0-0.85 = 0.15000000000000002 — a one-ulp divergence

@@ -736,18 +736,26 @@ def q_kg_canonical_edges(spark, sf_dir):
     (src, dst, label). The component map derives from the alias dictionary
     (dictionary-sized even at corpus scale), so both endpoint joins
     broadcast; the only shuffle is the final (src, dst, label) rollup."""
-    from pyspark.sql import Window
-    from .operators.canonical import connected_components, group_alias_edges
     _, inputs = _kg(spark, sf_dir)
     res = build_triple_pipeline(
         spark, inputs, PipelineConfig(), persist=False,
         frames_override=FramesLexicon.empty())
+    return _canonical_edges_from_ops(spark, inputs, res.doc_opinions)
+
+
+def _canonical_edges_from_ops(spark, inputs, doc_opinions):
+    """Canonical edge rollup over ANY doc-opinion table (inline pipeline
+    output or the runner's materialized ``opinions`` sink): J9 priority
+    dedup per (conv, s, t), alias-CC re-pointing (dictionary-sized ->
+    broadcast joins), (src, dst, label) aggregate."""
+    from pyspark.sql import Window
+    from .operators.canonical import connected_components, group_alias_edges
     seed_df = seed_groups_df(spark, load_synonym_seed(inputs.synonyms))
     aliases = spark.read.parquet(inputs.aliases)
     comps = connected_components(
-        group_alias_edges(res.mentions, aliases, seed_df))
+        group_alias_edges(doc_opinions, aliases, seed_df))
     w = Window.partitionBy("conv_id", "s_group", "t_group").orderBy("priority")
-    ops = (res.doc_opinions.withColumn("__rn", F.row_number().over(w))
+    ops = (doc_opinions.withColumn("__rn", F.row_number().over(w))
            .filter(F.col("__rn") == 1).drop("__rn"))
     cs = comps.select(F.col("node").alias("s_group"),
                       F.col("component").alias("s_comp"))
@@ -760,6 +768,39 @@ def q_kg_canonical_edges(spark, sf_dir):
                     "label")
             .groupBy("src", "dst", "label")
             .agg(F.count("*").cast("long").alias("n_ops")))
+
+
+def materialized_graph_sink(spark, sf_dir, num_buckets: int = 4) -> str:
+    """Ensure the runner's graph sink exists for this fixture and return
+    its path — the two-step materialize -> analyze flow of the 100 TB
+    story (round-3 verdict item 2).  ``run_incremental`` skips buckets
+    whose lineage row exists, so after the first call this is a metadata
+    check, exactly like resuming a production incremental job.  The sink
+    lives INSIDE the fixture's data dir, which is atomically replaced on
+    DATA_VERSION bumps — stale sinks cannot outlive their inputs."""
+    from .runner import SINK_EPOCH, run_incremental
+    data_dir, inputs = _kg(spark, sf_dir)
+    sink_dir = os.path.join(data_dir, f"graph_sink_e{SINK_EPOCH}")
+    run_incremental(spark, inputs, sink_dir, num_buckets=num_buckets)
+    return sink_dir
+
+
+def q_kg_pagerank_materialized(spark, sf_dir):
+    """PageRank over the RUNNER-MATERIALIZED opinion sink: materialize (or
+    resume) the bucketed graph tables via the checkpointed runner, then
+    analyze by READING the sink — no inline EP1 rebuild.  This is the
+    deployment shape at 100 TB: extraction writes the graph once; every
+    analytics query scans the (bucket-pruned, column-pruned) opinion/edge
+    tables instead of re-running the parse.  Oracle: the same 5-iteration
+    update over the FRAMES-mode canonical edge derivation (what the runner
+    writes), repr-exact damping literals."""
+    from .operators.graph import pagerank
+    from .runner import read_opinions
+    _, inputs = _kg(spark, sf_dir)
+    sink_dir = materialized_graph_sink(spark, sf_dir)
+    ops = read_opinions(spark, sink_dir).drop("bucket")
+    edges = _canonical_edges_from_ops(spark, inputs, ops)
+    return pagerank(edges, n_iter=5)
 
 
 def q_kg_node_degrees(spark, sf_dir):
@@ -987,6 +1028,7 @@ def registry() -> dict:
         "kg_cooccurrence": q_kg_cooccurrence,
         "kg_triangles": q_kg_triangles,
         "kg_pagerank": q_kg_pagerank,
+        "kg_pagerank_materialized": q_kg_pagerank_materialized,
         "kg_pagerank_weighted": q_kg_pagerank_weighted,
         "kg_pagerank_personalized": q_kg_pagerank_personalized,
         "kg_khop": q_kg_khop,
@@ -1103,6 +1145,11 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         "kg_pagerank_weighted": duck.pagerank_sql(
             tr, syn, seed, os.path.join(data_dir, "aliases.parquet"),
             weighted=True),
+        "kg_pagerank_materialized": duck.pagerank_sql(
+            tr, syn, seed, os.path.join(data_dir, "aliases.parquet"),
+            edges_sql=duck.canonical_edges_frames_sql(
+                tr, syn, seed, os.path.join(data_dir, "aliases.parquet"),
+                frames_lex, NEGATION_WORDS)),
         "kg_pagerank_personalized": duck.pagerank_personalized_sql(
             tr, syn, seed, os.path.join(data_dir, "aliases.parquet")),
         "kg_khop": duck.khop_sql(

@@ -29,6 +29,8 @@ HEADLINE = [
     "kg_triples",
     "kg_triples_noframes",
     "kg_mentions_noframes",
+    "kg_samples",      # EP2 masking-expression plan (r3 verdict item 10)
+    "kg_pagerank",     # iterative shape: 5x (|E|-join + combinable sum)
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "doc_fingerprints",

@@ -83,3 +83,57 @@ def test_lineage_metrics(spark, sf0001_dir, tmp_path):
     lineage = spark.read.parquet(GraphSink(sink).lineage)
     assert lineage.count() == 2
     assert os.path.exists(GraphSink(sink).edges)
+
+
+def test_format_seam_partition_overwrite_idempotent(spark, tmp_path):
+    """The table-format seam's dynamic-partition overwrite (round-3 verdict
+    item 6): rewriting one bucket's partition through the seam replaces
+    exactly that partition and re-running is byte-idempotent; other
+    partitions are untouched."""
+    sink = GraphSink(str(tmp_path / "seam"))
+    df = spark.createDataFrame(
+        [(1, "a", 0), (2, "b", 0), (3, "c", 1)], "x int, v string, bucket int")
+    sink.write_overwrite_partitions(df, "edges")
+    b0 = df.filter("bucket = 0")
+    for _ in range(2):  # overwrite the same partition twice
+        sink.write_overwrite_partitions(b0, "edges")
+        got = sorted(map(tuple, sink.read(spark, "edges")
+                         .select("x", "v", "bucket").collect()))
+        assert got == [(1, "a", 0), (2, "b", 0), (3, "c", 1)]
+
+
+def test_format_seam_iceberg_requires_catalog(spark, tmp_path):
+    """fmt='iceberg' is switch-flippable: without a configured catalog the
+    seam fails loudly (never silently falls back to parquet)."""
+    import pytest
+
+    sink = GraphSink("icecat.kg", fmt="iceberg")
+    df = spark.createDataFrame([(1, 0)], "x int, bucket int")
+    for op in (lambda: sink.write_overwrite_partitions(df, "edges"),
+               lambda: sink.write_overwrite(df, "nodes"),
+               lambda: sink.append(df, "lineage")):
+        with pytest.raises(RuntimeError, match="catalog 'icecat'"):
+            op()
+    assert sink.path("edges") == "icecat.kg.edges"
+
+
+def test_opinion_sink_matches_inline_pipeline(spark, sf0001_dir, tmp_path):
+    """The runner's opinions table (union over buckets) equals the inline
+    pipeline's doc-opinion output — the materialize->analyze two-step reads
+    what extraction computed, row for row."""
+    from arekit_r335_spark.config import PipelineConfig
+    from arekit_r335_spark.pipeline import build_triple_pipeline
+    from arekit_r335_spark.runner import read_opinions
+
+    inputs = KgInputs.at(sf0001_dir)
+    sink = str(tmp_path / "opsink")
+    metrics = run_incremental(spark, inputs, sink, num_buckets=NB)
+    assert sum(m["n_opinions"] for m in metrics) > 0
+    cols = ["conv_id", "s_group", "t_group", "label", "priority"]
+    mat = sorted(map(tuple, read_opinions(spark, sink)
+                     .select(*cols).collect()))
+    res = build_triple_pipeline(spark, inputs, PipelineConfig(),
+                                persist=False)
+    inline = sorted(map(tuple, res.doc_opinions.select(*cols).collect()))
+    assert mat == inline and len(mat) == sum(m["n_opinions"]
+                                             for m in metrics)

@@ -179,3 +179,84 @@ def test_porter_backend_through_spark_parse(spark):
     assert got[("c2", 0)] == [(1, "f_attack", True), (3, "f_praise", False)]
     base = parse_transcripts(tr, lex, PipelineConfig()).collect()
     assert all(len(r.frames) == 0 for r in base)
+
+
+# --------------------------------------------- external-process seam (V4 r3)
+
+_SPAWN_LOG = "/tmp/arekit_lemma_spawn_markers.log"
+
+
+def _logged_subproc_factory():
+    """Test factory: the real subprocess backend + a spawn marker
+    "<worker_pid>:<child_pid>" so the spawn-once-per-executor proof can
+    count children per Python worker from the driver."""
+    import os as _os
+
+    from arekit_r335_spark.functions.extproc import SubprocessLemmatizer
+    lem = SubprocessLemmatizer()
+    with open(_SPAWN_LOG, "a") as f:
+        f.write(f"{_os.getpid()}:{lem.proc.pid}\n")
+    return lem
+
+
+def test_subprocess_lemmatizer_lifecycle_local():
+    """Driver-side lifecycle: correct pipe protocol, per-process memoized
+    construction through the seam, and clean teardown on close()."""
+    from arekit_r335_spark.functions.extproc import subprocess_lower_factory
+    lem = subprocess_lower_factory()
+    assert lem.alive
+    assert lem("Attacking") == "attacking" and lem("HELLO") == "hello"
+    assert lem("Attacking") == "attacking"        # memo hit, same answer
+    # the seam memoizes per process: same backend object, ONE child
+    dotted = "arekit_r335_spark.functions.extproc:subprocess_lower_factory"
+    a, b = tp.get_lemmatizer(dotted), tp.get_lemmatizer(dotted)
+    assert a is b
+    a("X")  # usable
+    a.close()
+    assert not a.alive and a.proc.returncode is not None  # reaped, no zombie
+    tp._LEMMATIZER_CACHE.pop(dotted, None)
+    lem.close()
+
+
+def test_subprocess_lemmatizer_through_spark_parse(spark):
+    """The non-hermetic part Porter can't validate (round-3 verdict item 4):
+    the external-process backend through the Arrow parse on a MULTI-PARTITION
+    input — one child per Python worker (not per batch/partition/row), and
+    output byte-identical to the in-process default (the child speaks the
+    lowercase protocol)."""
+    import os as _os
+
+    from arekit_r335_spark.config import PipelineConfig
+    from arekit_r335_spark.lexicons import FramesLexicon
+    from arekit_r335_spark.operators.parse import parse_transcripts
+
+    if _os.path.exists(_SPAWN_LOG):
+        _os.remove(_SPAWN_LOG)
+
+    lex = FramesLexicon(
+        variants={"attack": "f_attack", "stand with": "f_support"},
+        max_variant_len=3,
+        polarity={"f_attack": "neg", "f_support": "pos"}, prob={})
+    rows = [(f"c{i}", 0, "user",
+             f"[e{i}] Attack and will stand with [x{i}]", None, None)
+            for i in range(64)]
+    tr = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp").repartition(8)
+    dotted = "tests.test_textproc:_logged_subproc_factory"
+    got = parse_transcripts(tr, lex, PipelineConfig(lemmatizer=dotted)) \
+        .select("conv_id", "frames").collect()
+    base = parse_transcripts(tr, lex, PipelineConfig()) \
+        .select("conv_id", "frames").collect()
+    key = lambda rws: sorted((r.conv_id, str(r.frames)) for r in rws)  # noqa: E731
+    assert key(got) == key(base) and len(got) == 64
+    assert all(len(r.frames) == 2 for r in got)
+
+    # spawn-once-per-executor: every Python worker pid spawned EXACTLY one
+    # child across all its batches/partitions
+    with open(_SPAWN_LOG) as f:
+        markers = [line.strip().split(":") for line in f if line.strip()]
+    workers = [w for w, _c in markers]
+    assert len(markers) >= 1
+    assert len(workers) == len(set(workers)), markers
+    _os.remove(_SPAWN_LOG)
