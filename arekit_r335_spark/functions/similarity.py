@@ -4,9 +4,11 @@
   against the corpus, JVM-side higher-order functions (zip_with + sequential
   aggregate fold => deterministic float summation order), no Python;
 * LSH-bucketed variant — the 100 TB path: sign-random-projection buckets
-  prune the candidate set to same-bucket rows (multi-probe = hamming-1
-  neighbors), then exact cosine re-rank. The bucket join is an equi-join the
-  optimizer can shuffle-partition; no cross join ever materializes.
+  prune the candidate set to same-bucket rows, with MULTI-PROBE (the query
+  side additionally probes every hamming-1 neighbor bucket per table —
+  implemented via a query-side explode so the bucket join stays a pure
+  equi-join), then exact cosine re-rank. The bucket join is an equi-join
+  the optimizer can shuffle-partition; no cross join ever materializes.
 
 All scores are exported as integers (round(cos * 1e5)) and ranks are computed
 on the ROUNDED score with id tie-breaks — engine-portable determinism.
@@ -174,10 +176,20 @@ def lsh_table_planes(n_tables: int, n_planes: int,
 
 def knn_lsh(embeddings: DataFrame, query_ids: list[int], k: int = 10,
             n_planes: int | None = None, n_tables: int = 6,
-            dim: int = 64, n_rows: int | None = None) -> DataFrame:
-    """Approximate top-k: multi-table sign-LSH (L independent tables of a few
-    planes each — candidate recall 1-(1-p^planes)^tables), union of same-
-    bucket candidates, exact cosine rerank. Schema = knn_bruteforce.
+            dim: int = 64, n_rows: int | None = None,
+            multiprobe: bool = True) -> DataFrame:
+    """Approximate top-k: multi-table sign-LSH (L independent tables of a
+    few planes each), union of candidates, exact cosine rerank.  Schema =
+    knn_bruteforce.
+
+    ``multiprobe=True`` (default) additionally probes every HAMMING-1
+    neighbor bucket of the query's signature in each table — the classic
+    multi-probe LSH trick (Lv et al., VLDB'07): a near neighbor that
+    landed one sign-bit away is recovered without adding tables.
+    Candidate recall goes from 1-(1-p^m)^L to 1-(1-(p^m + m*p^(m-1)(1-p)))^L
+    at the cost of (1+m)x QUERY-side rows only — the corpus side is
+    untouched, and the probe explosion keeps the bucket join a pure
+    equi-join on (table_id, bucket), never a hamming-distance theta-join.
 
     ``n_planes=None`` derives the plane count from the corpus size
     (``planes_for_corpus``) so buckets stay bounded as N grows. Pass
@@ -201,6 +213,12 @@ def knn_lsh(embeddings: DataFrame, query_ids: list[int], k: int = 10,
          .select(F.col("vec_id").alias("query_id"),
                  F.col("embedding").alias("q_emb"),
                  "table_id", "bucket"))
+    if multiprobe:
+        probe_set = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << i))
+              for i in range(n_planes)])
+        q = (q.withColumn("bucket", F.explode(probe_set)))
     c = banded.select(F.col("vec_id").alias("neighbor_id"),
                       F.col("embedding").alias("c_emb"),
                       "table_id", "bucket")

@@ -1037,13 +1037,16 @@ ORDER BY query_id, rank"""
 
 
 def knn_lsh_sql(table_planes: list, n_queries: int = 10, k: int = 10,
-                dim: int = 64) -> str:
+                dim: int = 64, multiprobe: bool = True) -> str:
     """Replica of functions/similarity.knn_lsh: the per-table SRP bucket ids
     are recomputed from the SAME literal hyperplanes (inlined by the
-    builder), candidates = same bucket in ANY table, exact rounded-cosine
-    rerank. The projection sum is written as an explicit left-associative
-    chain so the float summation order matches Spark's sequential
-    ``aggregate`` fold bit-for-bit (same bucket signs)."""
+    builder), candidates = same bucket in ANY table — or, with multi-probe
+    (the engine default), hamming distance <= 1 between the per-table
+    signatures (exactly the query-side hamming-1 bucket explosion) — then
+    exact rounded-cosine rerank. The projection sum is written as an
+    explicit left-associative chain so the float summation order matches
+    Spark's sequential ``aggregate`` fold bit-for-bit (same bucket
+    signs)."""
 
     def proj(prefix: str, plane: list[float]) -> str:
         return " + ".join(
@@ -1059,8 +1062,13 @@ def knn_lsh_sql(table_planes: list, n_queries: int = 10, k: int = 10,
     bcols = ", ".join(
         f"{bucket('e', planes)} AS b{t}"
         for t, planes in enumerate(table_planes))
-    same_bucket = " OR ".join(
-        f"q.b{t} = c.b{t}" for t in range(len(table_planes)))
+    if multiprobe:
+        same_bucket = " OR ".join(
+            f"bit_count(xor(q.b{t}, c.b{t})) <= 1"
+            for t in range(len(table_planes)))
+    else:
+        same_bucket = " OR ".join(
+            f"q.b{t} = c.b{t}" for t in range(len(table_planes)))
     dot = (f"list_sum(list_transform(range(1, {dim} + 1), "
            "i -> (q.embedding[i]::DOUBLE) * (c.embedding[i]::DOUBLE)))")
     nq = (f"list_sum(list_transform(range(1, {dim} + 1), "

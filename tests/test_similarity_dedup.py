@@ -24,6 +24,42 @@ def test_knn_lsh_recall(spark):
     assert sum(recalls) / len(recalls) >= 0.2
 
 
+def test_knn_lsh_multiprobe_dominates_single_probe(spark):
+    """Round-3 verdict item 5: hamming-1 multi-probe (the default) recovers
+    a SUPERSET of every single-probe candidate — so per-query recall vs
+    brute force is >= pointwise, and on this fixture strictly better in
+    aggregate (the probe is doing real work, not a no-op)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    from arekit_r335_spark.functions.similarity import (knn_bruteforce,
+                                                        knn_lsh)
+    qids = list(range(10))
+
+    def sets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return out
+
+    exact = sets(knn_bruteforce(emb, qids, k=5))
+    # k > corpus size: top-k == the full candidate set, so the
+    # superset property is checked at the candidate level, untruncated
+    single = sets(knn_lsh(emb, qids, k=1000, multiprobe=False))
+    multi = sets(knn_lsh(emb, qids, k=1000, multiprobe=True))
+
+    def recall(approx):
+        per_q = [len(exact[q] & approx.get(q, set())) / len(exact[q])
+                 for q in exact]
+        return sum(per_q) / len(per_q)
+
+    # multi-probe candidates must contain every single-probe candidate
+    for q in single:
+        assert single[q] <= multi.get(q, set()), q
+    r1, rm = recall(single), recall(multi)
+    assert rm >= r1
+    assert rm > r1  # strictly better on this fixture
+    assert rm >= 0.5
+
+
 def test_knn_ivf_recall_and_probe_bound(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     from arekit_r335_spark.functions.similarity import knn_bruteforce, knn_ivf
