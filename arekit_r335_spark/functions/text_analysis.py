@@ -118,3 +118,39 @@ def fingerprints(documents: DataFrame, n: int = 3,
     base = documents.select("doc_id",
                             F.md5(norm_text(F.col("text"))).alias("md5_norm"))
     return base.join(sig, "doc_id", "left")
+
+
+def tfidf_topk(documents: DataFrame, k: int = 5,
+               n_docs: int | None = None) -> DataFrame:
+    """TF-IDF top-k terms per document — the keyword/topic profile a
+    curation pipeline attaches to every training document.
+
+    Scale shape: two map-side-combinable aggregations — (doc_id, term)
+    term frequency, then term -> document frequency (vocabulary-sized,
+    shuffled on term; both sides pre-aggregated) — and a per-doc top-k
+    window partitioned by doc_id (corpus-parallel, never global).
+    idf = ln(N / df); ranking runs on the 1e6-scaled ROUNDED score with a
+    term tie-break (the ``cosine_e5`` discipline: integer comparisons are
+    engine-portable where raw-double ordering is one-ulp fragile).
+    ``n_docs`` from table metadata avoids the fallback ``count()``."""
+    from pyspark.sql import Window
+    toks = tokens_col(F.col("text"))
+    terms = (documents.select("doc_id", F.explode(toks).alias("term"))
+             .filter(F.col("term") != ""))
+    tf = (terms.groupBy("doc_id", "term")
+          .agg(F.count("*").cast("long").alias("tf")))
+    dfc = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    if n_docs is None:
+        n_docs = documents.count()
+    scored = (tf.join(dfc, "term")
+              .withColumn(
+                  "score_e6",
+                  F.round(F.col("tf")
+                          * F.log(F.lit(float(n_docs))
+                                  / F.col("df").cast("double"))
+                          * 1e6, 0).cast("long")))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_e6"),
+                                             F.asc("term"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= k)
+            .select("doc_id", "term", "tf", "df", "score_e6", "rank"))

@@ -370,3 +370,72 @@ def negative_samples(edges: DataFrame, k: int = 3,
                                      F.col("neg_idx").cast("string"))))
     return (cand.groupBy("src", "dst", "neg_idx")
             .agg(F.min_by("node", key).alias("neg_dst")))
+
+
+def node_triangle_profile(und: DataFrame) -> DataFrame:
+    """Per-node local clustering inputs over an undirected simple graph:
+    (node, degree, n_tri) — the local clustering coefficient is
+    2*n_tri / (degree*(degree-1)), left to the caller as exact integers
+    (the engine-portable-determinism discipline: no float ratios in
+    hashed outputs).
+
+    Scale shape: degree is one combinable aggregation over the symmetrized
+    edge list; triangle counts reuse the degree-ordered wedge enumeration
+    (O(sqrt(m)) fan-out per vertex) and explode each triangle into its 3
+    corners — a 3x map, then a combinable count."""
+    und = (und.select(F.least("u", "v").alias("u"),
+                      F.greatest("u", "v").alias("v"))
+           .filter(F.col("u") != F.col("v"))
+           .distinct()
+           .localCheckpoint(eager=False))
+    deg = (und.select(F.col("u").alias("node"))
+           .unionAll(und.select(F.col("v").alias("node")))
+           .groupBy("node").agg(F.count("*").cast("long").alias("degree")))
+    corners = triangles(und).select(
+        F.explode(F.array("a", "b", "c")).alias("node"))
+    tcnt = corners.groupBy("node").agg(
+        F.count("*").cast("long").alias("n_tri"))
+    return (deg.join(tcnt, "node", "left")
+            .select("node", "degree",
+                    F.coalesce("n_tri", F.lit(0)).alias("n_tri")))
+
+
+def neighbor_jaccard(und: DataFrame, min_common: int = 1) -> DataFrame:
+    """Neighborhood Jaccard similarity for entity-pair recommendation:
+    for every pair (a, b) sharing >= ``min_common`` neighbors in the
+    undirected graph, (a, b, n_common, deg_a, deg_b, jaccard_e6) where
+    jaccard = common / (deg_a + deg_b - common) — emitted as the
+    1e6-rounded integer (engine-portable ordering/values).
+
+    Scale shape: common-neighbor pairs are the wedge enumeration around
+    each center node — quadratic per NEIGHBORHOOD, not per corpus, the
+    same cost envelope as triangle counting (a production deployment adds
+    the degree-ordered orientation cap for celebrity hubs; co-occurrence
+    graphs here are pre-bounded by max_entities_per_conv upstream)."""
+    sym = (und.select(F.least("u", "v").alias("u"),
+                      F.greatest("u", "v").alias("v"))
+           .filter(F.col("u") != F.col("v"))
+           .distinct())
+    sym = (sym.unionAll(sym.select(F.col("v").alias("u"),
+                                   F.col("u").alias("v")))
+           .localCheckpoint(eager=False))
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").cast("long").alias("deg"))
+    # wedges centered at c: (a - c - b) with a < b => common-neighbor pairs
+    l = sym.select(F.col("u").alias("c"), F.col("v").alias("a"))
+    r = sym.select(F.col("u").alias("c"), F.col("v").alias("b"))
+    common = (l.join(r, "c")
+              .filter(F.col("a") < F.col("b"))
+              .groupBy("a", "b")
+              .agg(F.count("*").cast("long").alias("n_common"))
+              .filter(F.col("n_common") >= min_common))
+    out = (common
+           .join(deg.select(F.col("node").alias("a"),
+                            F.col("deg").alias("deg_a")), "a")
+           .join(deg.select(F.col("node").alias("b"),
+                            F.col("deg").alias("deg_b")), "b"))
+    union_sz = F.col("deg_a") + F.col("deg_b") - F.col("n_common")
+    return out.select(
+        "a", "b", "n_common", "deg_a", "deg_b",
+        F.round(F.col("n_common") / union_sz * 1e6, 0).cast("long")
+        .alias("jaccard_e6"))

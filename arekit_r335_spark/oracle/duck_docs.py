@@ -386,3 +386,28 @@ DOC_SQL["doc_negative_pairs"] = _neg_sql(
     "UNION "
     "SELECT CAST(doc_b AS VARCHAR), CAST(doc_a AS VARCHAR) FROM sp",
     k=3)
+
+
+# TF-IDF top-5 terms per document: identical whitespace tokenization,
+# ln(N/df) idf, ranking on the 1e6-rounded score (integer comparisons —
+# raw-double ordering is one-ulp fragile across engines)
+DOC_SQL["doc_tfidf_topk"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks WHERE term <> '' GROUP BY 1, 2
+),
+dfc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfc.df,
+         CAST(round(tf.tf * ln((SELECT n FROM nn) / CAST(dfc.df AS DOUBLE))
+                    * 1000000, 0) AS BIGINT) AS score_e6
+  FROM tf JOIN dfc USING (term)
+)
+SELECT doc_id, term, tf, df, score_e6,
+       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+            ORDER BY score_e6 DESC, term) AS INT) AS rank
+FROM scored QUALIFY rank <= 5 ORDER BY doc_id, rank"""

@@ -850,6 +850,39 @@ def q_kg_related_entities(spark, sf_dir):
             .select("entity", "other", "n_pair", "lift", "rank"))
 
 
+def q_kg_clustering(spark, sf_dir):
+    """Per-node local clustering profile over the co-occurrence graph
+    (support >= 2 — the kg_triangles graph): (node, degree, n_tri) as
+    exact integers; local coefficient = 2*n_tri/(degree*(degree-1)) is the
+    caller's one division.  Reuses the degree-ordered triangle machinery:
+    the only additions are a 3x corner explode and two combinable counts."""
+    from .operators.graph import node_triangle_profile
+    co = _cooccurrence(spark, sf_dir)
+    und = (co.filter(F.col("n_pair") >= 2)
+           .select(F.col("e_a").alias("u"), F.col("e_b").alias("v")))
+    return node_triangle_profile(und)
+
+
+def q_kg_neighbor_jaccard(spark, sf_dir):
+    """Entity-pair recommendation by neighborhood overlap: Jaccard
+    similarity of co-occurrence neighbor sets for every pair sharing a
+    neighbor (wedge enumeration — quadratic per neighborhood, not per
+    corpus), 1e6-rounded integer scores."""
+    from .operators.graph import neighbor_jaccard
+    co = _cooccurrence(spark, sf_dir)
+    und = co.select(F.col("e_a").alias("u"), F.col("e_b").alias("v"))
+    return neighbor_jaccard(und)
+
+
+def q_doc_tfidf_topk(spark, sf_dir):
+    """TF-IDF top-5 terms per document (keyword/topic profile for
+    curation): two combinable aggregations + a per-doc window; N from
+    parquet footer metadata (no count job)."""
+    from .functions.text_analysis import tfidf_topk
+    return tfidf_topk(_read(spark, sf_dir, "documents"), k=5,
+                      n_docs=_parquet_rows(sf_dir, "documents"))
+
+
 def q_kg_triangles(spark, sf_dir):
     """Triangle enumeration over the co-occurrence graph (support >= 2),
     via degree-ordered edge orientation (Suri & Vassilvitskii, WWW'11):
@@ -1027,6 +1060,9 @@ def registry() -> dict:
         "kg_node_degrees": q_kg_node_degrees,
         "kg_cooccurrence": q_kg_cooccurrence,
         "kg_triangles": q_kg_triangles,
+        "kg_clustering": q_kg_clustering,
+        "kg_neighbor_jaccard": q_kg_neighbor_jaccard,
+        "doc_tfidf_topk": q_doc_tfidf_topk,
         "kg_pagerank": q_kg_pagerank,
         "kg_pagerank_materialized": q_kg_pagerank_materialized,
         "kg_pagerank_weighted": q_kg_pagerank_weighted,
@@ -1140,6 +1176,41 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict:
             " WHERE rn <= 3 ORDER BY entity, rn"),
         "kg_triangles": duck.triangles_sql(
             tr, syn, os.path.join(data_dir, "aliases.parquet")),
+        "kg_clustering": (
+            "WITH tri AS MATERIALIZED ("
+            + duck.triangles_sql(
+                tr, syn, os.path.join(data_dir, "aliases.parquet"))
+            + "), co AS MATERIALIZED ("
+            + duck.cooccurrence_sql(
+                tr, syn, os.path.join(data_dir, "aliases.parquet"))
+            + """),
+und AS (SELECT e_a AS u, e_b AS v FROM co WHERE n_pair >= 2),
+deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM
+        (SELECT u AS node FROM und UNION ALL SELECT v FROM und) GROUP BY 1),
+tc AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM
+       (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri) GROUP BY 1)
+SELECT deg.node, deg.degree, COALESCE(tc.n_tri, CAST(0 AS BIGINT)) AS n_tri
+FROM deg LEFT JOIN tc ON tc.node = deg.node ORDER BY 1"""),
+        "kg_neighbor_jaccard": (
+            "WITH co AS MATERIALIZED ("
+            + duck.cooccurrence_sql(
+                tr, syn, os.path.join(data_dir, "aliases.parquet"))
+            + """),
+und AS (SELECT e_a AS u, e_b AS v FROM co),
+sym AS (SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und),
+deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM sym GROUP BY 1),
+common AS (
+  SELECT l.v AS a, r.v AS b, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM sym l JOIN sym r ON l.u = r.u AND l.v < r.v
+  GROUP BY 1, 2)
+SELECT c.a, c.b, c.n_common, da.deg AS deg_a, db.deg AS deg_b,
+       CAST(round(c.n_common
+                  / CAST(da.deg + db.deg - c.n_common AS DOUBLE)
+                  * 1000000, 0) AS BIGINT) AS jaccard_e6
+FROM common c JOIN deg da ON da.node = c.a JOIN deg db ON db.node = c.b
+ORDER BY 1, 2"""),
         "kg_pagerank": duck.pagerank_sql(
             tr, syn, seed, os.path.join(data_dir, "aliases.parquet")),
         "kg_pagerank_weighted": duck.pagerank_sql(
