@@ -35,7 +35,9 @@ def value_hash(df: pd.DataFrame) -> str:
     return h.hexdigest()[:16]
 
 
-def main(only: list[str]) -> int:
+def main(only: list[str], json_out: str | None = None) -> int:
+    import json
+
     import __spark_entry__ as entrymod
     from arekit_r335_spark.session import get_spark
 
@@ -53,6 +55,7 @@ def main(only: list[str]) -> int:
             con.sql(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')")
 
     failures = 0
+    report: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -61,12 +64,20 @@ def main(only: list[str]) -> int:
             sdf = fn(spark, SF_DIR).toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error {type(e).__name__}: {e}")
+            report[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False, "spark_rows": None,
+                            "oracle_rows": None,
+                            "err": f"spark {type(e).__name__}: {e}"[:400]}
             failures += 1
             continue
         t1 = time.time()
         if name not in sqls:
             print(f"ok?  {name}: rows={len(sdf)} (rows-only, no oracle) "
                   f"spark={t1 - t0:.1f}s")
+            report[name] = {"rows_match": len(sdf) > 0,
+                            "schema_match": None, "hash_match": None,
+                            "spark_rows": len(sdf), "oracle_rows": None,
+                            "err": None}
             if len(sdf) == 0:
                 print(f"WARN {name}: zero rows")
             continue
@@ -74,6 +85,10 @@ def main(only: list[str]) -> int:
             ddf = con.sql(sqls[name]).df()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error {type(e).__name__}: {e}")
+            report[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False, "spark_rows": len(sdf),
+                            "oracle_rows": None,
+                            "err": f"duckdb {type(e).__name__}: {e}"[:400]}
             failures += 1
             continue
         ns, nd = norm_frame(sdf), norm_frame(ddf)
@@ -83,14 +98,26 @@ def main(only: list[str]) -> int:
         status = "PASS" if (ok_rows and ok_cols and ok_vals) else "FAIL"
         if status == "FAIL":
             failures += 1
+        report[name] = {"rows_match": ok_rows, "schema_match": ok_cols,
+                        "hash_match": ok_vals, "spark_rows": len(ns),
+                        "oracle_rows": len(nd), "err": None}
         print(f"{status} {name}: rows {len(ns)}/{len(nd)} cols_ok={ok_cols} "
               f"vals_ok={ok_vals} spark={t1 - t0:.1f}s duck={time.time()-t1:.1f}s")
         if not ok_vals and ok_rows and ok_cols:
             merged = ns.merge(nd, how="outer", indicator=True)
             diff = merged[merged["_merge"] != "both"]
             print(diff.head(6).to_string())
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(report, f, indent=1)
     return failures
 
 
 if __name__ == "__main__":
-    sys.exit(1 if main(sys.argv[1:]) else 0)
+    args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    sys.exit(1 if main(args, json_out) else 0)
