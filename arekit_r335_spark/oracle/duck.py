@@ -1788,3 +1788,59 @@ walk(node, hops) AS (
 )
 SELECT node, CAST(MIN(hops) AS BIGINT) AS hops
 FROM walk GROUP BY 1 ORDER BY 1"""
+
+
+def kmeans_sql(k: int = 8, n_iter: int = 3, dim: int = 64) -> str:
+    """Iteration-exact k-means oracle (functions/clustering.py): seeds by
+    (md5(vec_id), vec_id), integer-sum centroid numerators (order-proof),
+    sequential-fold distances via list_sum/list_transform (the knn-proven
+    bit-identical pattern), argmin on the 0-dp rounded distance with a
+    cluster-index tie-break; empty clusters keep their previous centroid.
+    One CTE generation per Lloyd update, MATERIALIZED throughout (every
+    c{t} is referenced twice)."""
+    e6 = ("list_transform(embedding, x -> "
+          "CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))")
+    dist = (f"CAST(round(list_sum(list_transform(range(1, {dim + 1}), "
+            "i -> (CAST(e.e6[i] AS DOUBLE) - c.cent[i])"
+            " * (CAST(e.e6[i] AS DOUBLE) - c.cent[i]))), 0) AS BIGINT)")
+    sums = ", ".join(f"SUM(e.e6[{d + 1}])" for d in range(dim))
+    sql = f"""
+WITH e AS MATERIALIZED (SELECT vec_id, {e6} AS e6 FROM embeddings),
+c0 AS MATERIALIZED (
+  SELECT CAST(ROW_NUMBER() OVER (
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INT) - 1
+           AS cluster,
+         list_transform(e6, v -> CAST(v AS DOUBLE)) AS cent
+  FROM (SELECT vec_id, e6 FROM e
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k})
+)"""
+    for t in range(n_iter):
+        sql += f""",
+p{t} AS MATERIALIZED (
+  SELECT e.vec_id, c.cluster, {dist} AS dk
+  FROM e CROSS JOIN c{t} c
+),
+a{t} AS MATERIALIZED (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dk, cluster) AS rn
+    FROM p{t}) WHERE rn = 1
+),
+s{t} AS MATERIALIZED (
+  SELECT a.cluster, COUNT(*) AS n, [{sums}] AS sums
+  FROM a{t} a JOIN e ON e.vec_id = a.vec_id GROUP BY 1
+),
+c{t + 1} AS MATERIALIZED (
+  SELECT c.cluster,
+         CASE WHEN s.cluster IS NULL THEN c.cent
+              ELSE list_transform(s.sums, v -> CAST(v AS DOUBLE) / s.n)
+         END AS cent
+  FROM c{t} c LEFT JOIN s{t} s ON s.cluster = c.cluster
+)"""
+    return sql + f""",
+pf AS (SELECT e.vec_id, c.cluster, {dist} AS dk
+       FROM e CROSS JOIN c{n_iter} c)
+SELECT vec_id, CAST(cluster AS INT) AS cluster FROM (
+  SELECT vec_id, cluster,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dk, cluster) AS rn
+  FROM pf) WHERE rn = 1 ORDER BY vec_id"""

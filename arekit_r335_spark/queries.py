@@ -883,6 +883,18 @@ def q_doc_tfidf_topk(spark, sf_dir):
                       n_docs=_parquet_rows(sf_dir, "documents"))
 
 
+def q_emb_kmeans(spark, sf_dir):
+    """Deterministic k-means assignment over the embeddings table (Lloyd,
+    3 updates from md5-seeded centroids): the corpus-curation / IVF-
+    training clustering primitive, engine-exact via integer-sum centroid
+    numerators + rounded-distance argmin (see functions/clustering.py).
+    Hash-checked ROW-FOR-ROW against the unrolled-CTE DuckDB oracle —
+    every vector's final cluster id must match."""
+    from .functions.clustering import kmeans_assign
+    return kmeans_assign(_read(spark, sf_dir, "embeddings"),
+                         k=8, n_iter=3)
+
+
 def q_kg_triangles(spark, sf_dir):
     """Triangle enumeration over the co-occurrence graph (support >= 2),
     via degree-ordered edge orientation (Suri & Vassilvitskii, WWW'11):
@@ -1061,6 +1073,7 @@ def registry() -> dict:
         "kg_cooccurrence": q_kg_cooccurrence,
         "kg_triangles": q_kg_triangles,
         "kg_clustering": q_kg_clustering,
+        "emb_kmeans": q_emb_kmeans,
         "kg_neighbor_jaccard": q_kg_neighbor_jaccard,
         "doc_tfidf_topk": q_doc_tfidf_topk,
         "kg_pagerank": q_kg_pagerank,
@@ -1235,5 +1248,6 @@ ORDER BY 1, 2"""),
             lsh_table_planes(6, planes_for_corpus(n_rows)))
         out["dedup_embedding"] = duck.dedup_embedding_sql(
             threshold=0.45, bucket_dims=dims_for_corpus(n_rows))
+        out["emb_kmeans"] = duck.kmeans_sql(k=8, n_iter=3)
     out.update(duck_docs.DOC_SQL)
     return out

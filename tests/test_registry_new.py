@@ -129,7 +129,7 @@ def test_registry_oracle_key_parity():
     # rather than failing spuriously (ADVICE r3)
     gated = set()
     if not os.path.exists("/root/testdata/sf0.01/embeddings.parquet"):
-        gated = {"knn_lsh", "dedup_embedding"}
+        gated = {"knn_lsh", "dedup_embedding", "emb_kmeans"}
     assert set(qs) - gated == set(sqls) - gated, (
         (set(qs) ^ set(sqls)) - gated)
     for name, sql in sqls.items():

@@ -174,3 +174,32 @@ def test_embedding_near_dup(spark):
              embedding_near_dup(emb, threshold=0.95, bucket_dims=4).collect()}
     assert (1, 2) in pairs
     assert all(p in {(1, 2), (1, 3), (2, 3)} for p in pairs)
+
+
+def test_kmeans_separates_planted_clusters(spark):
+    """Deterministic Lloyd k-means: two well-separated planted blobs end in
+    two distinct clusters with all members together; re-running yields an
+    identical assignment (no RNG anywhere); profile sizes sum to N."""
+    import numpy as np
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(20):                       # blob A around +e0
+        v = np.zeros(64); v[0] = 10.0
+        rows.append((i, (v + rng.normal(0, 0.1, 64)).astype("float32").tolist()))
+    for i in range(20, 40):                   # blob B around -e1
+        v = np.zeros(64); v[1] = -10.0
+        rows.append((i, (v + rng.normal(0, 0.1, 64)).astype("float32").tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    from arekit_r335_spark.functions.clustering import (kmeans_assign,
+                                                        kmeans_profile)
+    a1 = {r.vec_id: r.cluster for r in
+          kmeans_assign(emb, k=2, n_iter=3).collect()}
+    a2 = {r.vec_id: r.cluster for r in
+          kmeans_assign(emb, k=2, n_iter=3).collect()}
+    assert a1 == a2 and len(a1) == 40
+    blob_a = {a1[i] for i in range(20)}
+    blob_b = {a1[i] for i in range(20, 40)}
+    assert len(blob_a) == 1 and len(blob_b) == 1 and blob_a != blob_b
+    prof = kmeans_profile(emb, k=2, n_iter=3).collect()
+    assert sum(r.n_vectors for r in prof) == 40
+    assert sorted(r.n_vectors for r in prof) == [20, 20]
