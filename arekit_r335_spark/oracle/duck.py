@@ -1562,10 +1562,14 @@ ORDER BY 1, 2, 3"""
 
 
 def node_degrees_sql(transcripts_path: str, synonyms_path: str,
-                     seed_path: str, aliases_path: str) -> str:
-    """Degree-profile oracle over the canonical edge table."""
-    edges = canonical_edges_sql(transcripts_path, synonyms_path,
-                                seed_path, aliases_path)
+                     seed_path: str, aliases_path: str,
+                     edges_sql: str | None = None) -> str:
+    """Degree-profile oracle over the canonical edge table.  ``edges_sql``
+    overrides the edge derivation (frames-mode for the materialized-sink
+    path)."""
+    edges = edges_sql or canonical_edges_sql(transcripts_path,
+                                             synonyms_path,
+                                             seed_path, aliases_path)
     return f"""
 WITH e AS ({edges}),
 o AS (

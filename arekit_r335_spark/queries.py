@@ -785,6 +785,19 @@ def materialized_graph_sink(spark, sf_dir, num_buckets: int = 4) -> str:
     return sink_dir
 
 
+def q_kg_degrees_materialized(spark, sf_dir):
+    """Degree profiles by READING the runner's materialized opinion sink
+    (second consumer of the same sink as kg_pagerank_materialized — the
+    whole point of materializing: N analytics queries amortize ONE
+    extraction run)."""
+    from .operators.graph import node_degrees
+    from .runner import read_opinions
+    _, inputs = _kg(spark, sf_dir)
+    sink_dir = materialized_graph_sink(spark, sf_dir)
+    ops = read_opinions(spark, sink_dir).drop("bucket")
+    return node_degrees(_canonical_edges_from_ops(spark, inputs, ops))
+
+
 def q_kg_pagerank_materialized(spark, sf_dir):
     """PageRank over the RUNNER-MATERIALIZED opinion sink: materialize (or
     resume) the bucketed graph tables via the checkpointed runner, then
@@ -1078,6 +1091,7 @@ def registry() -> dict:
         "doc_tfidf_topk": q_doc_tfidf_topk,
         "kg_pagerank": q_kg_pagerank,
         "kg_pagerank_materialized": q_kg_pagerank_materialized,
+        "kg_degrees_materialized": q_kg_degrees_materialized,
         "kg_pagerank_weighted": q_kg_pagerank_weighted,
         "kg_pagerank_personalized": q_kg_pagerank_personalized,
         "kg_khop": q_kg_khop,
@@ -1230,6 +1244,11 @@ ORDER BY 1, 2"""),
             tr, syn, seed, os.path.join(data_dir, "aliases.parquet"),
             weighted=True),
         "kg_pagerank_materialized": duck.pagerank_sql(
+            tr, syn, seed, os.path.join(data_dir, "aliases.parquet"),
+            edges_sql=duck.canonical_edges_frames_sql(
+                tr, syn, seed, os.path.join(data_dir, "aliases.parquet"),
+                frames_lex, NEGATION_WORDS)),
+        "kg_degrees_materialized": duck.node_degrees_sql(
             tr, syn, seed, os.path.join(data_dir, "aliases.parquet"),
             edges_sql=duck.canonical_edges_frames_sql(
                 tr, syn, seed, os.path.join(data_dir, "aliases.parquet"),
