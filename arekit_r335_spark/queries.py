@@ -73,6 +73,40 @@ def q_kg_turn_stats_noframes(spark, sf_dir):
         F.size("mentions").cast("long").alias("n_mentions"))
 
 
+def q_kg_turn_length_profile(spark, sf_dir):
+    """Exact per-role turn-length distribution (n, min, max, p50, p90) via
+    the TWO-PHASE VALUE HISTOGRAM — the scale-correct exact percentile:
+    a sort-based/collecting percentile aggregate holds a group's values in
+    memory (impossible per-group at 100 TB), while the histogram is one
+    map-side-combinable (role, n_terms) count whose output is
+    metadata-sized (roles x distinct lengths), so the cumulative window
+    and the threshold argmins run on a dictionary-sized table.
+    percentile_disc semantics: smallest value whose cumulative count
+    reaches ceil(p * n) — integers end to end."""
+    from pyspark.sql import Window
+    _, inputs = _kg(spark, sf_dir)
+    tr = spark.read.parquet(inputs.transcripts)
+    parsed = parse_transcripts(tr, FramesLexicon.empty(), PipelineConfig())
+    lens = (parsed.select("role", F.col("n_terms").cast("long")
+                          .alias("n_terms")))
+    hist = lens.groupBy("role", "n_terms").agg(
+        F.count("*").cast("long").alias("cnt"))
+    # tiny: the histogram is roles x distinct turn lengths, metadata-sized
+    w = (Window.partitionBy("role").orderBy("n_terms")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    h = hist.withColumn("cum", F.sum("cnt").over(w))
+    tot = hist.groupBy("role").agg(F.sum("cnt").alias("n"))
+    h = h.join(F.broadcast(tot), "role")
+    return (h.groupBy("role")
+            .agg(F.first("n").alias("n_turns"),
+                 F.min("n_terms").alias("min_len"),
+                 F.max("n_terms").alias("max_len"),
+                 F.min(F.when(F.col("cum") * 2 >= F.col("n"),
+                              F.col("n_terms"))).alias("p50"),
+                 F.min(F.when(F.col("cum") * 10 >= F.col("n") * 9,
+                              F.col("n_terms"))).alias("p90")))
+
+
 def q_kg_triples_noframes(spark, sf_dir):
     """EP1 end-to-end (frames disabled): the full relational pipeline
     J2/J3 -> J8 -> U1/J9 -> J6 -> J10/J11 -> triples."""
@@ -1038,6 +1072,7 @@ def registry() -> dict:
     return {
         "kg_mentions_noframes": q_kg_mentions_noframes,
         "kg_turn_stats_noframes": q_kg_turn_stats_noframes,
+        "kg_turn_length_profile": q_kg_turn_length_profile,
         "kg_triples_noframes": q_kg_triples_noframes,
         "kg_doc_opinions_noframes": q_kg_doc_opinions_noframes,
         "kg_triples": q_kg_triples,
@@ -1115,6 +1150,28 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict:
     out = {
         "kg_mentions_noframes": duck.mentions_noframes_sql(tr, syn),
         "kg_turn_stats_noframes": duck.turn_stats_noframes_sql(tr),
+        "kg_turn_length_profile": (
+            "WITH ts AS MATERIALIZED ("
+            + duck.turn_stats_noframes_sql(tr)
+            + f"""),
+lens AS (
+  SELECT t.role, ts.n_terms
+  FROM ts JOIN read_parquet('{tr}') t
+    ON t.conv_id = ts.conv_id AND t.turn_idx = ts.turn_idx),
+hist AS (SELECT role, n_terms, CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM lens GROUP BY 1, 2),
+h AS (SELECT role, n_terms, cnt,
+             SUM(cnt) OVER (PARTITION BY role ORDER BY n_terms
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM hist),
+tot AS (SELECT role, SUM(cnt) AS n FROM hist GROUP BY 1)
+SELECT h.role,
+       CAST(MIN(t.n) AS BIGINT) AS n_turns,
+       MIN(h.n_terms) AS min_len,
+       MAX(h.n_terms) AS max_len,
+       MIN(CASE WHEN h.cum * 2 >= t.n THEN h.n_terms END) AS p50,
+       MIN(CASE WHEN h.cum * 10 >= t.n * 9 THEN h.n_terms END) AS p90
+FROM h JOIN tot t ON t.role = h.role GROUP BY 1 ORDER BY 1"""),
         "kg_triples_noframes": duck.triples_noframes_sql(tr, syn, seed),
         "kg_triples": duck.triples_frames_sql(tr, syn, seed, frames_lex,
                                               NEGATION_WORDS),
