@@ -942,6 +942,48 @@ def q_emb_kmeans(spark, sf_dir):
                          k=8, n_iter=3)
 
 
+def q_kg_entity_salience(spark, sf_dir):
+    """Per-conversation entity salience: tf-idf transplanted to the KG
+    mention space — salience(conv, entity) = n_mentions_in_conv *
+    ln(N_convs / n_convs_mentioning_entity), top-3 canonical entities per
+    conversation ("what is this conversation about").  Shape: one
+    (conv, canon) combinable rollup, a canon-keyed doc-frequency
+    aggregate, a one-row broadcast total, and a conv-partitioned window;
+    ranking on the 1e6-rounded integer score."""
+    from pyspark.sql import Window
+    from .operators.canonical import connected_components, group_alias_edges
+    _, inputs = _kg(spark, sf_dir)
+    mentions = _noframes_mentions(spark, sf_dir)
+    seed_df = seed_groups_df(spark, load_synonym_seed(inputs.synonyms))
+    aliases = spark.read.parquet(inputs.aliases)
+    comps = connected_components(
+        group_alias_edges(mentions, aliases, seed_df))
+    mc = (mentions
+          .join(F.broadcast(comps.withColumnRenamed("node", "group_key")),
+                "group_key", "left")
+          .select("conv_id",
+                  F.coalesce("component", F.col("group_key")).alias("canon"))
+          .groupBy("conv_id", "canon")
+          .agg(F.count("*").cast("long").alias("n_mentions")))
+    dfq = mc.groupBy("canon").agg(
+        F.count("*").cast("long").alias("n_convs_entity"))
+    tot = mc.agg(F.countDistinct("conv_id").cast("double").alias("n"))
+    scored = (mc.join(dfq, "canon")
+              .crossJoin(F.broadcast(tot))
+              .withColumn(
+                  "score_e6",
+                  F.round(F.col("n_mentions")
+                          * F.log(F.col("n")
+                                  / F.col("n_convs_entity").cast("double"))
+                          * 1e6, 0).cast("long")))
+    w = Window.partitionBy("conv_id").orderBy(F.desc("score_e6"),
+                                              F.asc("canon"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= 3)
+            .select("conv_id", "canon", "n_mentions", "n_convs_entity",
+                    "score_e6", "rank"))
+
+
 def q_kg_triangles(spark, sf_dir):
     """Triangle enumeration over the co-occurrence graph (support >= 2),
     via degree-ordered edge orientation (Suri & Vassilvitskii, WWW'11):
@@ -1123,6 +1165,7 @@ def registry() -> dict:
         "kg_clustering": q_kg_clustering,
         "emb_kmeans": q_emb_kmeans,
         "kg_neighbor_jaccard": q_kg_neighbor_jaccard,
+        "kg_entity_salience": q_kg_entity_salience,
         "doc_tfidf_topk": q_doc_tfidf_topk,
         "kg_pagerank": q_kg_pagerank,
         "kg_pagerank_materialized": q_kg_pagerank_materialized,
@@ -1201,6 +1244,30 @@ FROM h JOIN tot t ON t.role = h.role GROUP BY 1 ORDER BY 1"""),
                 tr, syn, os.path.join(data_dir, "aliases.parquet"))
             + ") cn ON cn.group_key = m.group_key"
             " GROUP BY 1 ORDER BY 1"),
+        "kg_entity_salience": (
+            "WITH m AS MATERIALIZED ("
+            + duck.mentions_noframes_sql(tr, syn)
+            + "), cn AS MATERIALIZED ("
+            + duck.canonical_nodes_sql(
+                tr, syn, os.path.join(data_dir, "aliases.parquet"))
+            + """),
+mc AS (SELECT m.conv_id, COALESCE(cn.canon_id, m.group_key) AS canon,
+              CAST(COUNT(*) AS BIGINT) AS n_mentions
+       FROM m LEFT JOIN cn ON cn.group_key = m.group_key GROUP BY 1, 2),
+dfq AS (SELECT canon, CAST(COUNT(*) AS BIGINT) AS n_convs_entity
+        FROM mc GROUP BY 1),
+tot AS (SELECT CAST(COUNT(DISTINCT conv_id) AS DOUBLE) AS n FROM mc),
+scored AS (
+  SELECT mc.conv_id, mc.canon, mc.n_mentions, d.n_convs_entity,
+         CAST(round(mc.n_mentions
+                    * ln((SELECT n FROM tot)
+                         / CAST(d.n_convs_entity AS DOUBLE))
+                    * 1000000, 0) AS BIGINT) AS score_e6
+  FROM mc JOIN dfq d ON d.canon = mc.canon)
+SELECT conv_id, canon, n_mentions, n_convs_entity, score_e6,
+       CAST(ROW_NUMBER() OVER (PARTITION BY conv_id
+            ORDER BY score_e6 DESC, canon) AS INT) AS rank
+FROM scored QUALIFY rank <= 3 ORDER BY conv_id, rank"""),
         "kg_frame_hits": duck.frame_hits_sql(tr, syn, frames_lex,
                                              NEGATION_WORDS),
         "kg_frame_effects": duck.frame_role_labels_sql(tr, syn, frames_lex,
