@@ -154,3 +154,60 @@ def tfidf_topk(documents: DataFrame, k: int = 5,
     return (scored.withColumn("rank", F.row_number().over(w).cast("int"))
             .filter(F.col("rank") <= k)
             .select("doc_id", "term", "tf", "df", "score_e6", "rank"))
+
+
+def bm25_scores(documents: DataFrame, query_terms: tuple[str, ...],
+                k1: float = 1.2, b: float = 0.75,
+                n_docs: int | None = None) -> DataFrame:
+    """BM25 relevance of every document to a fixed bag of query terms —
+    the retrieval scorer a curation pipeline uses for targeted corpus
+    pulls.  Returns (doc_id, n_hits, score_e6) for documents matching at
+    least one term.
+
+    Determinism note: the per-document score is the sum of per-term
+    contributions ADDED IN THE LITERAL TERM ORDER (one conditional
+    aggregate per query term, then a fixed-order expression sum) — a
+    plain SUM over exploded rows would add doubles in partition order,
+    which is not reproducible across engines.  All other arithmetic is
+    identically parenthesized on both sides; k1/b ship as repr literals.
+
+    Scale shape: the explode is pre-filtered to the query terms (isin on
+    a tiny literal set, pushed into the scan's generate filter), tf and
+    df are combinable aggregates, and the corpus length total is a
+    one-row broadcast."""
+    toks = tokens_col(F.col("text"))
+    terms = (documents.select("doc_id", F.explode(toks).alias("term"))
+             .filter(F.col("term").isin(*query_terms)))
+    tf = (terms.groupBy("doc_id", "term")
+          .agg(F.count("*").cast("long").alias("tf")))
+    dfc = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    lens = documents.select(
+        "doc_id", F.size(toks).cast("long").alias("dl"))
+    if n_docs is None:
+        n_docs = documents.count()
+    tot = lens.agg(F.sum("dl").cast("double").alias("sum_dl"))
+    n = float(n_docs)
+    j = (tf.join(dfc, "term")
+         .join(lens, "doc_id")
+         .crossJoin(F.broadcast(tot))
+         .withColumn("avgdl", F.col("sum_dl") / F.lit(n)))
+    idf = F.log(F.lit(1.0) + ((F.lit(n) - F.col("df").cast("double"))
+                              + F.lit(0.5))
+                / (F.col("df").cast("double") + F.lit(0.5)))
+    contrib = (idf
+               * (F.col("tf").cast("double") * F.lit(k1 + 1.0))
+               / (F.col("tf").cast("double")
+                  + F.lit(k1) * (F.lit(1.0 - b)
+                                 + F.lit(b) * (F.col("dl").cast("double")
+                                               / F.col("avgdl")))))
+    j = j.withColumn("contrib", contrib)
+    aggs = [F.sum(F.when(F.col("term") == t, F.col("contrib")))
+            .alias(f"c{i}") for i, t in enumerate(query_terms)]
+    g = j.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_hits"), *aggs)
+    score = None
+    for i in range(len(query_terms)):
+        c = F.coalesce(F.col(f"c{i}"), F.lit(0.0))
+        score = c if score is None else score + c
+    return g.select("doc_id", "n_hits",
+                    F.round(score * 1e6, 0).cast("long").alias("score_e6"))

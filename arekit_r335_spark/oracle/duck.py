@@ -596,13 +596,36 @@ ORDER BY conv_id, turn_idx"""
 def triples_noframes_sql(transcripts_path: str, synonyms_path: str,
                          seed_path: str, dist_bound: int = 50,
                          window: int = 50,
-                         no_label: str = "nolabel") -> str:
-    """Full EP1 (frames lexicon empty) in one SQL statement."""
-    return (_mentions_cte(transcripts_path, synonyms_path) + f""",
+                         no_label: str = "nolabel",
+                         entity_types: dict | None = None,
+                         whitelist: tuple | None = None) -> str:
+    """Full EP1 (frames lexicon empty) in one SQL statement.
+
+    ``whitelist`` (with ``entity_types``, value(lower) -> type) applies the
+    J12 entity-type filter AFTER mention numbering — ent_id / ind_in_doc
+    keep their unfiltered values, exactly like the engine
+    (``pipeline.attach_entity_types`` filters the numbered mention table
+    once, feeding both the pair stage and the expansion stage)."""
+    mname = "mentions"
+    wcte = ""
+    if whitelist is not None:
+        rows = ", ".join(
+            f"('{_sq(v)}', '{_sq(t)}')"
+            for v, t in sorted((entity_types or {}).items()))
+        wl = ", ".join(f"'{_sq(t)}'" for t in sorted(whitelist))
+        wcte = f""",
+etypes(value, ent_type) AS (VALUES {rows}),
+wmentions AS (
+  SELECT m.* FROM mentions m
+  JOIN etypes e ON e.value = m.value
+  WHERE e.ent_type IN ({wl})
+)"""
+        mname = "wmentions"
+    return (_mentions_cte(transcripts_path, synonyms_path) + wcte + f""",
 cand AS (
   SELECT m1.conv_id, m1.group_key AS s_group, m2.group_key AS t_group
-  FROM mentions m1
-  JOIN mentions m2
+  FROM {mname} m1
+  JOIN {mname} m2
     ON m1.conv_id = m2.conv_id AND m1.turn_idx = m2.turn_idx
    AND m1.ent_id <> m2.ent_id
    AND abs(m1.ind_in_doc - m2.ind_in_doc) <= {dist_bound}
@@ -644,8 +667,8 @@ expanded AS (
          o.s_group, o.t_group, o.label, o.priority,
          CAST(abs(ms.ind_in_doc - mt.ind_in_doc) AS BIGINT) AS term_dist
   FROM doc_ops o
-  JOIN mentions ms ON ms.conv_id = o.conv_id AND ms.group_key = o.s_group
-  JOIN mentions mt ON mt.conv_id = o.conv_id AND mt.group_key = o.t_group
+  JOIN {mname} ms ON ms.conv_id = o.conv_id AND ms.group_key = o.s_group
+  JOIN {mname} mt ON mt.conv_id = o.conv_id AND mt.group_key = o.t_group
   WHERE ms.ent_id <> mt.ent_id
     AND ms.turn_idx = mt.turn_idx
     AND abs(ms.ind_in_doc - mt.ind_in_doc) < {window}

@@ -411,3 +411,53 @@ SELECT doc_id, term, tf, df, score_e6,
        CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
             ORDER BY score_e6 DESC, term) AS INT) AS rank
 FROM scored QUALIFY rank <= 5 ORDER BY doc_id, rank"""
+
+
+def bm25_sql(query_terms: tuple[str, ...], k1: float = 1.2,
+             b: float = 0.75) -> str:
+    """BM25 oracle: identical parenthesization and a fixed-order
+    expression sum of per-term conditional aggregates (see
+    text_analysis.bm25_scores determinism note); k1/b as repr literals."""
+    terms_in = ", ".join(f"'{t}'" for t in query_terms)
+    rk1, rb = repr(float(k1)), repr(float(b))
+    caggs = ",\n         ".join(
+        f"SUM(CASE WHEN term = '{t}' THEN contrib END) AS c{i}"
+        for i, t in enumerate(query_terms))
+    score = " + ".join(f"COALESCE(c{i}, 0.0)"
+                       for i in range(len(query_terms)))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks WHERE term IN ({terms_in}) GROUP BY 1, 2
+),
+dfc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+lens AS (SELECT doc_id, CAST(len(string_split({_NORM}, ' ')) AS BIGINT)
+                AS dl FROM documents),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+              CAST(SUM(CAST(len(string_split({_NORM}, ' ')) AS BIGINT))
+                   AS DOUBLE) AS sum_dl
+       FROM documents),
+j AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1.0 + (((SELECT n FROM nn) - CAST(dfc.df AS DOUBLE)) + 0.5)
+                  / (CAST(dfc.df AS DOUBLE) + 0.5))
+         * (CAST(tf.tf AS DOUBLE) * {repr(float(k1) + 1.0)})
+         / (CAST(tf.tf AS DOUBLE)
+            + {rk1} * ({repr(1.0 - float(b))}
+                       + {rb} * (CAST(l.dl AS DOUBLE)
+                                 / ((SELECT sum_dl FROM nn)
+                                    / (SELECT n FROM nn)))))
+           AS contrib
+  FROM tf JOIN dfc ON dfc.term = tf.term JOIN lens l ON l.doc_id = tf.doc_id
+),
+g AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+         {caggs}
+  FROM j GROUP BY doc_id
+)
+SELECT doc_id, n_hits,
+       CAST(round(({score}) * 1000000, 0) AS BIGINT) AS score_e6
+FROM g ORDER BY doc_id"""

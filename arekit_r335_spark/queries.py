@@ -117,6 +117,19 @@ def q_kg_triples_noframes(spark, sf_dir):
     return res.triples
 
 
+def q_kg_triples_whitelist(spark, sf_dir):
+    """J12 hash-checked (was parity/pytest-only through round 3): EP1 with
+    the entity-type whitelist ("GPE", "PERSON") — mentions typed outside
+    the whitelist join no pair on either end, while ent_id / ind_in_doc
+    numbering stays that of the UNFILTERED mention table (the filter runs
+    after position assignment, ``filters/entity_based.py:9-28``)."""
+    _, inputs = _kg(spark, sf_dir)
+    cfg = PipelineConfig(entity_type_whitelist=("GPE", "PERSON"))
+    res = build_triple_pipeline(spark, inputs, cfg, persist=False,
+                                frames_override=FramesLexicon.empty())
+    return res.triples
+
+
 def q_kg_doc_opinions_noframes(spark, sf_dir):
     """Doc-level opinion union (J4+J8 predefined, J2/J3+J8 nolabel, U1)."""
     _, inputs = _kg(spark, sf_dir)
@@ -921,6 +934,18 @@ def q_kg_neighbor_jaccard(spark, sf_dir):
     return neighbor_jaccard(und)
 
 
+BM25_QUERY_TERMS = ("data", "model", "cluster")
+
+
+def q_doc_bm25(spark, sf_dir):
+    """BM25 retrieval scores for a fixed query-term bag over the documents
+    table (targeted corpus pulls); per-term contributions summed in
+    literal order for cross-engine determinism."""
+    from .functions.text_analysis import bm25_scores
+    return bm25_scores(_read(spark, sf_dir, "documents"), BM25_QUERY_TERMS,
+                       n_docs=_parquet_rows(sf_dir, "documents"))
+
+
 def q_doc_tfidf_topk(spark, sf_dir):
     """TF-IDF top-5 terms per document (keyword/topic profile for
     curation): two combinable aggregations + a per-doc window; N from
@@ -1116,6 +1141,7 @@ def registry() -> dict:
         "kg_turn_stats_noframes": q_kg_turn_stats_noframes,
         "kg_turn_length_profile": q_kg_turn_length_profile,
         "kg_triples_noframes": q_kg_triples_noframes,
+        "kg_triples_whitelist": q_kg_triples_whitelist,
         "kg_doc_opinions_noframes": q_kg_doc_opinions_noframes,
         "kg_triples": q_kg_triples,
         "kg_frame_hits": q_kg_frame_hits,
@@ -1167,6 +1193,7 @@ def registry() -> dict:
         "kg_neighbor_jaccard": q_kg_neighbor_jaccard,
         "kg_entity_salience": q_kg_entity_salience,
         "doc_tfidf_topk": q_doc_tfidf_topk,
+        "doc_bm25": q_doc_bm25,
         "kg_pagerank": q_kg_pagerank,
         "kg_pagerank_materialized": q_kg_pagerank_materialized,
         "kg_degrees_materialized": q_kg_degrees_materialized,
@@ -1216,6 +1243,11 @@ SELECT h.role,
        MIN(CASE WHEN h.cum * 10 >= t.n * 9 THEN h.n_terms END) AS p90
 FROM h JOIN tot t ON t.role = h.role GROUP BY 1 ORDER BY 1"""),
         "kg_triples_noframes": duck.triples_noframes_sql(tr, syn, seed),
+        "kg_triples_whitelist": duck.triples_noframes_sql(
+            tr, syn, seed,
+            entity_types=load_entity_types(
+                os.path.join(data_dir, "entity_types.json")),
+            whitelist=("GPE", "PERSON")),
         "kg_triples": duck.triples_frames_sql(tr, syn, seed, frames_lex,
                                               NEGATION_WORDS),
         "label_distribution": (
@@ -1393,4 +1425,5 @@ ORDER BY 1, 2"""),
             threshold=0.45, bucket_dims=dims_for_corpus(n_rows))
         out["emb_kmeans"] = duck.kmeans_sql(k=8, n_iter=3)
     out.update(duck_docs.DOC_SQL)
+    out["doc_bm25"] = duck_docs.bm25_sql(BM25_QUERY_TERMS)
     return out
