@@ -461,3 +461,41 @@ g AS (
 SELECT doc_id, n_hits,
        CAST(round(({score}) * 1000000, 0) AS BIGINT) AS score_e6
 FROM g ORDER BY doc_id"""
+
+
+# |z| > 3 per-user event-rate anomalies, cross-multiplied into pure
+# integer arithmetic: (c*n - s)^2 > 9*(n*q - s^2) == z^2 > 9
+DOC_SQL["events_anomalies"] = """
+WITH hourly AS (
+  SELECT user_id, strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_hours,
+         CAST(SUM(n_events) AS BIGINT) AS sum_events,
+         CAST(SUM(n_events * n_events) AS BIGINT) AS sumsq
+  FROM hourly GROUP BY 1
+)
+SELECT h.user_id, h.hour, h.n_events, s.n_hours, s.sum_events
+FROM hourly h JOIN stats s ON s.user_id = h.user_id
+WHERE s.n_hours >= 3
+  AND (h.n_events * s.n_hours - s.sum_events)
+      * (h.n_events * s.n_hours - s.sum_events)
+      > 9 * (s.n_hours * s.sumsq - s.sum_events * s.sum_events)
+ORDER BY 1, 2"""
+
+# deterministic stratified sampling: md5-threshold per language stratum
+# (rates: de 80, en 50, es 80, unk 10 percent)
+DOC_SQL["doc_sample_stratified"] = f"""
+WITH lang AS ({DOC_SQL['doc_langid']}),
+b AS (
+  SELECT doc_id, pred_lang,
+         CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                   AS BIGINT) % 100 AS INT) AS bucket
+  FROM lang
+)
+SELECT doc_id, pred_lang, bucket FROM b
+WHERE bucket < CASE pred_lang WHEN 'de' THEN 80 WHEN 'en' THEN 50
+                              WHEN 'es' THEN 80 ELSE 10 END
+ORDER BY doc_id"""

@@ -611,6 +611,52 @@ def q_lineitem_pricing(spark, sf_dir):
                  F.count("*").cast("long").alias("count_order")))
 
 
+def q_events_anomalies(spark, sf_dir):
+    """Per-user event-rate anomaly hours — |z| > 3 detection carried out
+    ENTIRELY in integer arithmetic (the monitoring pass a streaming KG
+    ingest runs over its own throughput): hour count c is anomalous for a
+    user with n hours, sum s, sum-of-squares q iff
+    (c*n - s)^2 > 9*(n*q - s^2), which is z^2 > 9 cross-multiplied —
+    no float mean/stddev anywhere, so results are exactly reproducible.
+    Two combinable aggregations + one user-keyed join."""
+    ev = _read(spark, sf_dir, "events")
+    hourly = (ev.groupBy("user_id",
+                         F.date_format(F.date_trunc("hour", "ts"),
+                                       "yyyy-MM-dd HH").alias("hour"))
+              .agg(F.count("*").cast("long").alias("n_events")))
+    stats = hourly.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_hours"),
+        F.sum("n_events").cast("long").alias("sum_events"),
+        F.sum(F.col("n_events") * F.col("n_events")).cast("long")
+        .alias("sumsq"))
+    j = hourly.join(stats, "user_id")
+    dev = F.col("n_events") * F.col("n_hours") - F.col("sum_events")
+    rhs = F.lit(9) * (F.col("n_hours") * F.col("sumsq")
+                      - F.col("sum_events") * F.col("sum_events"))
+    return (j.filter((F.col("n_hours") >= 3) & (dev * dev > rhs))
+            .select("user_id", "hour", "n_events", "n_hours", "sum_events"))
+
+
+def q_doc_sample_stratified(spark, sf_dir):
+    """Deterministic stratified sampling for training-mix construction:
+    per predicted language, keep a fixed per-stratum rate by md5
+    thresholding on doc_id (no RNG — re-runs, resumes and the oracle
+    agree row-for-row; the rate map is a tiny literal)."""
+    from .functions.text_analysis import langid_scores
+    rates = {"de": 80, "en": 50, "es": 80, "unk": 10}
+    lang = langid_scores(_read(spark, sf_dir, "documents")).select(
+        "doc_id", "pred_lang")
+    bucket = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
+                                 1, 15), 16, 10).cast("long") % 100)
+    rate_kv = []
+    for k in sorted(rates):
+        rate_kv += [F.lit(k), F.lit(rates[k])]
+    rate = F.element_at(F.create_map(*rate_kv), F.col("pred_lang"))
+    return (lang.withColumn("bucket", bucket.cast("int"))
+            .filter(F.col("bucket") < rate)
+            .select("doc_id", "pred_lang", "bucket"))
+
+
 def q_events_sessionize(spark, sf_dir):
     """Gap-based sessionization (W2-style lag window, the batch analog of
     stateful streaming sessions): a new session starts after a >30 min gap;
@@ -1171,6 +1217,8 @@ def registry() -> dict:
         "dedup_embedding": q_dedup_embedding,
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
+        "events_anomalies": q_events_anomalies,
+        "doc_sample_stratified": q_doc_sample_stratified,
         "orders_by_region": q_orders_by_region,
         "dedup_clusters": q_dedup_clusters,
         "lineitem_pricing": q_lineitem_pricing,
