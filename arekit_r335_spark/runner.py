@@ -133,11 +133,28 @@ def bucket_of(col, num_buckets: int):
     return F.pmod(F.xxhash64(col), F.lit(num_buckets)).cast("int")
 
 
-def completed_buckets(spark: SparkSession, sink: GraphSink) -> set[int]:
+def completed_buckets(spark: SparkSession, sink: GraphSink,
+                      num_buckets: int | None = None) -> set[int]:
+    """Completed bucket ids from lineage.  When ``num_buckets`` is given,
+    RAISES if the sink was written with a different bucket count: the
+    bucket predicate ``pmod(xxhash64(conv_id), N)`` changes meaning with
+    N, so resuming under a different N would silently skip work for some
+    conversations and duplicate it for others."""
     if not sink.exists(spark, "lineage"):
         return set()
-    rows = (sink.read(spark, "lineage")
-            .filter(F.col("status") == "done")
+    lineage = sink.read(spark, "lineage")
+    if num_buckets is not None and "num_buckets" in lineage.columns:
+        seen = [r.num_buckets for r in
+                lineage.select("num_buckets").distinct().collect()
+                if r.num_buckets is not None]
+        bad = [n for n in seen if n != num_buckets]
+        if bad:
+            raise ValueError(
+                f"sink at {sink.base_dir!r} was materialized with "
+                f"num_buckets={bad[0]}, resume requested num_buckets="
+                f"{num_buckets}; bucket ranges are not comparable — "
+                f"finish with the original count or write a new sink")
+    rows = (lineage.filter(F.col("status") == "done")
             .select("bucket").distinct().collect())
     return {r.bucket for r in rows}
 
@@ -201,6 +218,7 @@ def run_bucket(spark: SparkSession, inputs: KgInputs, cfg: PipelineConfig,
 
     metrics = {
         "bucket": bucket,
+        "num_buckets": num_buckets,
         "status": "done",
         "n_turns": int(n_turns),
         "n_mentions": int(n_mentions),
@@ -210,12 +228,14 @@ def run_bucket(spark: SparkSession, inputs: KgInputs, cfg: PipelineConfig,
         "n_groups": int(nobs.get["n_groups"]),
         "wall_sec": float(round(time.time() - t0, 3)),
     }
-    # lineage append LAST — commit point of the bucket
+    # lineage append LAST — commit point of the bucket; num_buckets rides
+    # along so a resume under a DIFFERENT bucket count fails loudly
+    # (completed_buckets) instead of silently mispartitioning the work
     sink.append(spark.createDataFrame(
         [metrics],
-        "bucket int, status string, n_turns long, n_mentions long, "
-        "n_triples long, n_opinions long, n_convs long, n_groups long, "
-        "wall_sec double"), "lineage")
+        "bucket int, num_buckets int, status string, n_turns long, "
+        "n_mentions long, n_triples long, n_opinions long, n_convs long, "
+        "n_groups long, wall_sec double"), "lineage")
     return metrics
 
 
@@ -229,7 +249,7 @@ def run_incremental(spark: SparkSession, inputs: KgInputs,
     sink = GraphSink(sink_dir, fmt)
     if fmt == "parquet":
         os.makedirs(sink.base_dir, exist_ok=True)
-    done = completed_buckets(spark, sink)
+    done = completed_buckets(spark, sink, num_buckets=num_buckets)
     out: list[dict] = []
     todo = [b for b in range(num_buckets) if b not in done]
     if max_buckets is not None:

@@ -137,3 +137,19 @@ def test_opinion_sink_matches_inline_pipeline(spark, sf0001_dir, tmp_path):
     inline = sorted(map(tuple, res.doc_opinions.select(*cols).collect()))
     assert mat == inline and len(mat) == sum(m["n_opinions"]
                                              for m in metrics)
+
+
+def test_resume_rejects_changed_bucket_count(spark, sf0001_dir, tmp_path):
+    """Resuming a sink under a different num_buckets must fail loudly: the
+    bucket predicate pmod(xxhash64(conv_id), N) changes meaning with N, so
+    a silent resume would skip some conversations and duplicate others."""
+    import pytest
+
+    inputs = KgInputs.at(sf0001_dir)
+    sink = str(tmp_path / "nbsink")
+    run_incremental(spark, inputs, sink, num_buckets=NB, max_buckets=1)
+    with pytest.raises(ValueError, match="num_buckets"):
+        run_incremental(spark, inputs, sink, num_buckets=NB * 2)
+    # the original count still resumes cleanly
+    rest = run_incremental(spark, inputs, sink, num_buckets=NB)
+    assert sorted(m["bucket"] for m in rest) == list(range(1, NB))
