@@ -224,6 +224,33 @@ def q_kg_doc_opinions(spark, sf_dir):
         F.col("priority").cast("int").alias("priority"))
 
 
+def q_kg_conv_profile(spark, sf_dir):
+    """Per-conversation KG profile — the operational "what did extraction
+    yield per document" rollup: turn count, time span, mention count,
+    distinct entities, triple count.  Three combinable conv_id aggregates
+    left-joined on the partitioning key every stage already uses."""
+    _, inputs = _kg(spark, sf_dir)
+    res = build_triple_pipeline(spark, inputs, PipelineConfig(),
+                                persist=False,
+                                frames_override=FramesLexicon.empty())
+    tr = (spark.read.parquet(inputs.transcripts)
+          .groupBy("conv_id")
+          .agg(F.count("*").cast("long").alias("n_turns"),
+               F.min(F.unix_timestamp("ts")).cast("long").alias("first_ts"),
+               F.max(F.unix_timestamp("ts")).cast("long").alias("last_ts")))
+    ms = (res.mentions.groupBy("conv_id")
+          .agg(F.count("*").cast("long").alias("n_mentions"),
+               F.countDistinct("group_key").cast("long")
+               .alias("n_entities")))
+    ts = (res.triples.groupBy("conv_id")
+          .agg(F.count("*").cast("long").alias("n_triples")))
+    return (tr.join(ms, "conv_id", "left").join(ts, "conv_id", "left")
+            .select("conv_id", "n_turns", "first_ts", "last_ts",
+                    F.coalesce("n_mentions", F.lit(0)).alias("n_mentions"),
+                    F.coalesce("n_entities", F.lit(0)).alias("n_entities"),
+                    F.coalesce("n_triples", F.lit(0)).alias("n_triples")))
+
+
 def q_kg_canonical_nodes(spark, sf_dir):
     """J7b north-rule canonicalization: alias edges over group keys ->
     connected components (iterative joins + checkpointing) -> canonical id
@@ -1195,6 +1222,7 @@ def registry() -> dict:
         "kg_doc_opinions_effect": q_kg_doc_opinions_effect,
         "kg_doc_opinions": q_kg_doc_opinions,
         "kg_canonical_nodes": q_kg_canonical_nodes,
+        "kg_conv_profile": q_kg_conv_profile,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_ivf": q_knn_ivf,
         "knn_lsh": q_knn_lsh,
@@ -1368,6 +1396,30 @@ FROM scored QUALIFY rank <= 3 ORDER BY conv_id, rank"""),
             duck.doc_opinions_noframes_sql(tr, syn, seed),
         "kg_canonical_nodes": duck.canonical_nodes_sql(
             tr, syn, os.path.join(data_dir, "aliases.parquet")),
+        "kg_conv_profile": (
+            "WITH m AS MATERIALIZED ("
+            + duck.mentions_noframes_sql(tr, syn)
+            + "), t AS MATERIALIZED ("
+            + duck.triples_noframes_sql(tr, syn, seed)
+            + f"""),
+trs AS (
+  SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
+         CAST(MIN(epoch(ts)) AS BIGINT) AS first_ts,
+         CAST(MAX(epoch(ts)) AS BIGINT) AS last_ts
+  FROM read_parquet('{tr}') GROUP BY 1),
+ms AS (
+  SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_mentions,
+         CAST(COUNT(DISTINCT group_key) AS BIGINT) AS n_entities
+  FROM m GROUP BY 1),
+ts2 AS (
+  SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_triples FROM t GROUP BY 1)
+SELECT trs.conv_id, trs.n_turns, trs.first_ts, trs.last_ts,
+       COALESCE(ms.n_mentions, 0) AS n_mentions,
+       COALESCE(ms.n_entities, 0) AS n_entities,
+       COALESCE(ts2.n_triples, 0) AS n_triples
+FROM trs LEFT JOIN ms ON ms.conv_id = trs.conv_id
+LEFT JOIN ts2 ON ts2.conv_id = trs.conv_id
+ORDER BY 1"""),
         "knn_bruteforce": duck.knn_bruteforce_sql(),
         "knn_ivf": duck.knn_ivf_sql(),
         "eval_prf_noframes": duck.eval_prf_noframes_sql(syn, seed),
