@@ -120,11 +120,16 @@ class GraphSink:
 
     def read(self, spark: SparkSession, name: str) -> DataFrame:
         if self.fmt == "iceberg":
+            self._check_catalog(spark)
             return spark.read.table(self.path(name))
         return spark.read.parquet(self.path(name))
 
     def exists(self, spark: SparkSession, name: str) -> bool:
         if self.fmt == "iceberg":
+            # checked here too: catalog.tableExists on an unconfigured
+            # catalog raises a confusing namespace AnalysisException,
+            # and completed_buckets calls exists() before any write guard
+            self._check_catalog(spark)
             return spark.catalog.tableExists(self.path(name))
         return os.path.exists(self.path(name))
 

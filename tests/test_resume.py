@@ -111,7 +111,9 @@ def test_format_seam_iceberg_requires_catalog(spark, tmp_path):
     df = spark.createDataFrame([(1, 0)], "x int, bucket int")
     for op in (lambda: sink.write_overwrite_partitions(df, "edges"),
                lambda: sink.write_overwrite(df, "nodes"),
-               lambda: sink.append(df, "lineage")):
+               lambda: sink.append(df, "lineage"),
+               lambda: sink.read(spark, "edges"),
+               lambda: sink.exists(spark, "lineage")):
         with pytest.raises(RuntimeError, match="catalog 'icecat'"):
             op()
     assert sink.path("edges") == "icecat.kg.edges"
