@@ -6,8 +6,6 @@ supervision variant on a mixed polarity/effect lexicon."""
 
 import json
 
-from pyspark.sql import functions as F
-
 from arekit_r335_spark.lexicons import FramesLexicon
 
 
