@@ -439,3 +439,34 @@ def neighbor_jaccard(und: DataFrame, min_common: int = 1) -> DataFrame:
         "a", "b", "n_common", "deg_a", "deg_b",
         F.round(F.col("n_common") / union_sz * 1e6, 0).cast("long")
         .alias("jaccard_e6"))
+
+
+def min_cost_paths(edges: DataFrame, seeds: DataFrame, k: int = 4,
+                   weight_col: str = "n_ops") -> DataFrame:
+    """Bounded Bellman-Ford: minimum path cost from the seed set over at
+    most ``k`` edges, where an edge's cost is the integer "resistance"
+    round(1e6 / sum(weight)) — strong evidence (many supporting opinions)
+    = cheap edge, so low cost means high evidence-weighted proximity.
+    Costs stay exact integers end to end (engine-portable minima; no
+    float path sums).
+
+    Iterative shape (the khop/pagerank discipline): each relaxation is
+    one equi-join of the current distance vector against the edge list +
+    a combinable MIN per node + an eager localCheckpoint (constant plan
+    size); k is a constant, so the plan never grows with the data."""
+    ed = (edges.groupBy("src", "dst")
+          .agg(F.round(F.lit(1000000.0)
+                       / F.sum(weight_col).cast("double"), 0)
+               .cast("long").alias("w"))
+          .localCheckpoint(eager=False))
+    dist = (seeds.select("node", F.lit(0).cast("long").alias("cost"))
+            .localCheckpoint(eager=True))
+    for _ in range(k):
+        relaxed = (ed.join(dist.withColumnRenamed("node", "src")
+                           .withColumnRenamed("cost", "c0"), "src")
+                   .select(F.col("dst").alias("node"),
+                           (F.col("c0") + F.col("w")).alias("cost")))
+        dist = (dist.unionAll(relaxed)
+                .groupBy("node").agg(F.min("cost").alias("cost"))
+                .localCheckpoint(eager=True))
+    return dist

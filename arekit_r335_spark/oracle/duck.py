@@ -1871,3 +1871,33 @@ SELECT vec_id, CAST(cluster AS INT) AS cluster FROM (
   SELECT vec_id, cluster,
          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dk, cluster) AS rn
   FROM pf) WHERE rn = 1 ORDER BY vec_id"""
+
+
+def min_cost_paths_sql(transcripts_path: str, synonyms_path: str,
+                       seed_path: str, aliases_path: str,
+                       k: int = 4, n_seeds: int = 3) -> str:
+    """Bounded Bellman-Ford oracle: depth-bounded recursive path walk with
+    integer edge costs round(1e6 / sum(n_ops)), MIN(total) per node —
+    equal to k relaxation rounds (min over <= k-edge paths; weights
+    non-negative)."""
+    edges = canonical_edges_sql(transcripts_path, synonyms_path,
+                                seed_path, aliases_path)
+    return f"""
+WITH RECURSIVE e AS MATERIALIZED ({edges}),
+ed AS MATERIALIZED (
+  SELECT src, dst,
+         CAST(round(1000000.0 / CAST(SUM(n_ops) AS DOUBLE), 0) AS BIGINT)
+           AS w
+  FROM e GROUP BY 1, 2),
+seeds AS (
+  SELECT src AS node FROM (SELECT DISTINCT src, dst FROM e) GROUP BY 1
+  ORDER BY COUNT(DISTINCT dst) DESC, src LIMIT {n_seeds}
+),
+walk(node, cost, hops) AS (
+  SELECT node, CAST(0 AS BIGINT), 0 FROM seeds
+  UNION ALL
+  SELECT ed.dst, w.cost + ed.w, w.hops + 1
+  FROM walk w JOIN ed ON ed.src = w.node
+  WHERE w.hops < {k}
+)
+SELECT node, MIN(cost) AS cost FROM walk GROUP BY 1 ORDER BY 1"""

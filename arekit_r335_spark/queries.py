@@ -1199,6 +1199,24 @@ def q_doc_negative_pairs(spark, sf_dir):
     return negative_samples(sym, k=3)
 
 
+def q_kg_min_cost_paths(spark, sf_dir):
+    """Evidence-weighted proximity: bounded Bellman-Ford (<= 4 edges) from
+    the top-3 out-degree seeds over the canonical edge table, edge cost =
+    round(1e6 / n_ops) ("resistance": strong evidence = cheap).  The
+    second genuinely distinct iterative algorithm family after PageRank —
+    min-plus relaxation instead of sum-times propagation.  Oracle: the
+    depth-bounded recursive path walk + MIN(total cost)."""
+    from .operators.graph import min_cost_paths
+    edges = q_kg_canonical_edges(spark, sf_dir)
+    ed = edges.select("src", "dst").distinct()
+    seeds = (ed.groupBy(F.col("src").alias("node"))
+             .agg(F.countDistinct("dst").alias("__od"))
+             .orderBy(F.desc("__od"), F.asc("node"))
+             .limit(3)
+             .select("node"))
+    return min_cost_paths(edges, seeds, k=4)
+
+
 def q_kg_khop(spark, sf_dir):
     """BFS min-hop reachability (<= 3 hops) from the three highest
     out-degree canonical nodes: the frontier — not the graph — shuffles per
@@ -1276,6 +1294,7 @@ def registry() -> dict:
         "kg_pagerank_weighted": q_kg_pagerank_weighted,
         "kg_pagerank_personalized": q_kg_pagerank_personalized,
         "kg_khop": q_kg_khop,
+        "kg_min_cost_paths": q_kg_min_cost_paths,
         "kg_label_timeline": q_kg_label_timeline,
         "kg_entity_timeline": q_kg_entity_timeline,
         "doc_negative_pairs": q_doc_negative_pairs,
@@ -1512,6 +1531,8 @@ ORDER BY 1, 2"""),
         "kg_pagerank_personalized": duck.pagerank_personalized_sql(
             tr, syn, seed, os.path.join(data_dir, "aliases.parquet")),
         "kg_khop": duck.khop_sql(
+            tr, syn, seed, os.path.join(data_dir, "aliases.parquet")),
+        "kg_min_cost_paths": duck.min_cost_paths_sql(
             tr, syn, seed, os.path.join(data_dir, "aliases.parquet")),
     }
     emb_path = os.path.join(sf_dir, "embeddings.parquet")

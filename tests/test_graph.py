@@ -314,3 +314,23 @@ def test_negative_samples_exhaustive_probes_dense_graph(spark):
     assert len(got) == len(e) * K          # exactly k per edge, none dropped
     for (s, t, i), n in got.items():
         assert n == skip[s]                # the unique valid corruption
+
+
+def test_min_cost_paths_prefers_cheap_two_hop(spark):
+    """Bounded Bellman-Ford is genuinely min-COST, not min-hop: a strongly
+    evidenced 2-hop route (cost 10k+10k) beats a weakly evidenced direct
+    edge (cost 1M); nodes beyond the hop bound are absent; seed cost 0."""
+    from arekit_r335_spark.operators.graph import min_cost_paths
+    e = [("A", "B", 1),      # resistance 1_000_000
+         ("A", "C", 100),    # resistance 10_000
+         ("C", "B", 100),    # resistance 10_000
+         ("B", "D", 100)]
+    edges = spark.createDataFrame(e, "src string, dst string, n_ops int")
+    seeds = spark.createDataFrame([("A",)], "node string")
+    got = {r.node: r.cost for r in
+           min_cost_paths(edges, seeds, k=2).collect()}
+    assert got == {"A": 0, "C": 10_000, "B": 20_000, "D": 1_010_000}
+    # with k=1 the relaxation cannot take the 2-hop route yet
+    got1 = {r.node: r.cost for r in
+            min_cost_paths(edges, seeds, k=1).collect()}
+    assert got1["B"] == 1_000_000 and "D" not in got1
