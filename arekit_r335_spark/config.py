@@ -51,6 +51,14 @@ class PipelineConfig:
     # the task closure). "lower" = the deterministic default normalizer.
     lemmatizer: str = "lower"
 
+    # J4b connotation source: "polarity" (the reference's a0->a1 frame
+    # polarity, default) or "effect:<role>" (the role's EFFECT label,
+    # e.g. "effect:a1" — how the theme is affected; frames without that
+    # role's effect are voteless). Selects the frame_id->label map fed to
+    # the frame-connotation annotator in BOTH physical strategies, so the
+    # runner can materialize effect-labeled graphs end-to-end.
+    connotation: str = "polarity"
+
     def __post_init__(self) -> None:
         if self.terms_per_context <= 0:
             raise ValueError("terms_per_context must be > 0")

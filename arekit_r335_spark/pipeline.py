@@ -46,6 +46,19 @@ def _warn_nondefault_lever(name: str, value: str) -> None:
         "from their oracles under this setting", name, value)
 
 
+def _connotation_map(frames_lex: FramesLexicon, cfg) -> dict:
+    """J4b label-map selection (cfg.connotation): the reference's a0->a1
+    polarity (``try_get_frame_polarity``), or a role's effect labels
+    (``get_frame_effects`` + the EffectLabelsFormatter mapping)."""
+    c = getattr(cfg, "connotation", "polarity")
+    if c == "polarity":
+        return frames_lex.polarity
+    if c.startswith("effect:"):
+        return frames_lex.role_effect_map(c.split(":", 1)[1])
+    raise ValueError(f"unknown connotation source: {c!r} "
+                     "(expected 'polarity' or 'effect:<role>')")
+
+
 @dataclass
 class TriplePipelineResult:
     mentions: DataFrame
@@ -108,7 +121,8 @@ def build_triple_pipeline(spark: SparkSession,
                                 frames_lex, seed_syn, seed_df)
 
     import os as _os
-    frame_annot_live = bool(frames_lex.polarity) and _os.environ.get(
+    conn_map = _connotation_map(frames_lex, cfg)
+    frame_annot_live = bool(conn_map) and _os.environ.get(
         "SPARK_KG_FRAME_ANNOT", "1") != "0"
 
     parsed = parse_transcripts(transcripts, frames_lex, cfg)
@@ -168,7 +182,7 @@ def build_triple_pipeline(spark: SparkSession,
     # J4b frame-connotation annotator (operators/connotation.py). Skipped
     # when the lexicon carries no polarities — an empty lexicon would only
     # add a dead parse branch to the plan.
-    frame_ops = (frame_doc_opinions(pairs, frames_df, frames_lex.polarity)
+    frame_ops = (frame_doc_opinions(pairs, frames_df, conn_map)
                  if frame_annot_live else None)
     doc_opinions = union_annotators(predefined, nolabel, frame_ops)
 
@@ -213,9 +227,9 @@ def _build_turnlocal(spark: SparkSession, inputs: KgInputs,
     seed_ops = spark.read.parquet(inputs.seed_opinions)
     predefined = predefined_doc_opinions(seed_ops, seed_df)
     nolabel = tl.nolabel_doc_opinions_local(annotated, cfg)
-    frame_ops = (tl.frame_doc_opinions_local(annotated, cfg,
-                                             frames_lex.polarity)
-                 if frames_lex.polarity else None)
+    conn_map = _connotation_map(frames_lex, cfg)
+    frame_ops = (tl.frame_doc_opinions_local(annotated, cfg, conn_map)
+                 if conn_map else None)
     doc_opinions = union_annotators(predefined, nolabel, frame_ops)
 
     conv_ms = tl.conv_mentions(annotated)

@@ -153,3 +153,32 @@ def test_effect_annotator_strategy_equivalence(spark, sf0001_dir):
            for r in eff.select("conv_id", "s_group", "t_group",
                                "label").collect()}
     assert rel and loc == rel
+
+
+def test_pipeline_connotation_effect_config(spark, sf0001_dir):
+    """cfg.connotation='effect:a1' swaps the J4b label map INSIDE the full
+    pipeline (the runner can therefore materialize effect-labeled graphs):
+    the union's priority-1 rows equal the standalone effect annotator, and
+    an unknown source name fails loudly."""
+    import pytest
+
+    from arekit_r335_spark.config import PipelineConfig
+    from arekit_r335_spark.lexicons import KgInputs
+    from arekit_r335_spark.pipeline import build_triple_pipeline
+    from arekit_r335_spark.queries import q_kg_doc_opinions_effect
+
+    inputs = KgInputs.at(sf0001_dir)
+    res = build_triple_pipeline(
+        spark, inputs, PipelineConfig(connotation="effect:a1"),
+        persist=False)
+    got = {(r.conv_id, r.s_group, r.t_group, r.label)
+           for r in res.doc_opinions.filter("priority = 1")
+           .select("conv_id", "s_group", "t_group", "label").collect()}
+    want = {(r.conv_id, r.s_group, r.t_group, r.label)
+            for r in q_kg_doc_opinions_effect(spark, sf0001_dir).collect()}
+    assert got == want and got
+
+    with pytest.raises(ValueError, match="connotation"):
+        build_triple_pipeline(spark, inputs,
+                              PipelineConfig(connotation="bogus"),
+                              persist=False)
