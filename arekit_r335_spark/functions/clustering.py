@@ -94,7 +94,20 @@ def kmeans_assign(embeddings: DataFrame, k: int = 8, n_iter: int = 3,
                  .collect())
         new = list(cents)                 # empty cluster -> previous centroid
         for r in stats:
-            new[r["cluster"]] = [r[f"s{d}"] / r["n"] for d in range(dim)]
+            sums = [r[f"s{d}"] for d in range(dim)]
+            # the "same exact IEEE division in both engines" claim needs
+            # both operands exactly representable as doubles: Python's
+            # int/int is correctly rounded from the EXACT integer, while
+            # DuckDB casts the sum to double first — those differ once
+            # |sum| >= 2^53 (~1e10 e6-quantized unit-norm rows per
+            # cluster). Assert the bound so the guarantee fails loudly
+            # instead of drifting by one ulp at extreme scale.
+            assert all(abs(s) < (1 << 53) for s in sums), (
+                "k-means centroid integer sum exceeds 2^53: the "
+                "cross-engine exact-division guarantee no longer holds "
+                "at this cluster size; shard the corpus or raise the "
+                "quantization step")
+            new[r["cluster"]] = [s / r["n"] for s in sums]
         cents = new
     return e.select("vec_id",
                     _assign_col(F.col("e6"), cents).alias("cluster"))

@@ -63,7 +63,15 @@ class SubprocessLemmatizer:
             # words are whitespace-split tokens: never contain newlines
             self.proc.stdin.write(word + "\n")
             self.proc.stdin.flush()
-            out = self.proc.stdout.readline().rstrip("\n")
+            line = self.proc.stdout.readline()
+            if line == "" and not self.alive:
+                # a dead child yields EOF ('' forever): fail loudly rather
+                # than silently memoizing empty lemmas for every later word
+                raise RuntimeError(
+                    f"lemmatizer child {self.argv!r} died "
+                    f"(returncode={self.proc.returncode}) while "
+                    f"lemmatizing {word!r}")
+            out = line.rstrip("\n")
             self._memo[word] = out
         return out
 

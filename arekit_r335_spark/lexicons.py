@@ -120,6 +120,89 @@ def load_synonyms_csv_lines(lines: list[str]) -> pd.DataFrame:
         drop=True)
 
 
+class ToneLexicon:
+    """S-family term→tone CSV lexicon (RuSentiLex shape).
+
+    Reference: ``contrib/utils/lexicons/lexicon.py:4-37`` (``Lexicon`` —
+    ``TermKey='term'``, ``ToneKey='tone'``, ``from_csv`` comma-separated,
+    ``get_score`` returns the FIRST matching row's tone and 0 for a missing
+    term) and ``rusentilex.py:10-36`` (``RuSentiLexLexicon``, the same frame
+    read out of an archive). The driver-side API mirrors the reference;
+    ``df`` is the broadcast-join side for the Spark path (terms are KBs —
+    dictionary-sized, SURVEY.md §4 item 5)."""
+
+    def __init__(self, df: pd.DataFrame):
+        # first registration wins: get_score takes .values[0]
+        self.df = df.drop_duplicates(subset=["term"],
+                                     keep="first").reset_index(drop=True)
+        self._scores = dict(zip(self.df["term"], self.df["tone"]))
+
+    @classmethod
+    def from_csv_lines(cls, lines: list[str]) -> "ToneLexicon":
+        import io
+        return cls(pd.read_csv(io.StringIO("\n".join(lines)), sep=","))
+
+    @classmethod
+    def from_csv(cls, filepath: str, separator: str = ",") -> "ToneLexicon":
+        return cls(pd.read_csv(filepath, sep=separator))
+
+    def get_score(self, lemma: str) -> int:
+        return int(self._scores.get(lemma, 0))
+
+    def has_term(self, term: str) -> bool:
+        return term in self._scores
+
+    def __contains__(self, item: str) -> bool:
+        return item in self._scores
+
+    def __iter__(self):
+        return iter(self.df["term"])
+
+
+class RelationLexicon:
+    """Pairwise relation→tone lexicon: rows keyed ``left<->right``.
+
+    Reference: ``contrib/utils/lexicons/relation.py:4-40`` — the
+    constructor validates every key splits into exactly two parts on
+    ``<->``; ``get_score(l, r)`` looks up ``l<->r`` first, falls back to
+    the symmetric ``r<->l``, and returns None when neither exists."""
+
+    SEP = "<->"
+
+    def __init__(self, df: pd.DataFrame):
+        for rel in df["relation"]:
+            if len(str(rel).split(self.SEP)) != 2:
+                raise ValueError(f"malformed relation key: {rel!r}")
+        self._scores = dict(zip(df["relation"], df["tone"]))
+
+    @classmethod
+    def from_csv_lines(cls, lines: list[str]) -> "RelationLexicon":
+        import io
+        return cls(pd.read_csv(io.StringIO("\n".join(lines)), sep=","))
+
+    def get_score(self, left: str, right: str):
+        for key in (left + self.SEP + right, right + self.SEP + left):
+            if key in self._scores:
+                return int(self._scores[key])
+        return None
+
+
+def synthetic_tone_csv_lines(sids: list[str]) -> list[str]:
+    """Deterministic fixture tone lexicon: one CSV row per sid with
+    tone(sid) = hexint(md5(sid)[:15]) % 3 - 1 ∈ {-1, 0, 1} — the
+    engine-portable md5 discipline (same hex-prefix base-16 parse as the
+    folding/negative-sampling oracles), so the DuckDB oracle recomputes
+    the identical tone in SQL with no fixture file round-trip."""
+    import hashlib
+    import io
+    terms = sorted(set(sids))
+    tones = [int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
+             % 3 - 1 for t in terms]
+    buf = io.StringIO()
+    pd.DataFrame({"term": terms, "tone": tones}).to_csv(buf, index=False)
+    return buf.getvalue().splitlines()
+
+
 def load_entity_types(path: str) -> dict[str, str]:
     """Optional value(lower) -> entity type map for the J12 filter."""
     if not os.path.exists(path):

@@ -583,6 +583,26 @@ FROM mentions
 ORDER BY conv_id, ent_id""")
 
 
+def mention_tones_sql(transcripts_path: str, synonyms_path: str) -> str:
+    """RuSentiLex tone oracle: recompute the deterministic fixture tone
+    (hexint(md5(sid)[:15]) % 3 - 1, the engine-portable hex parse) per
+    distinct synonym sid and LEFT JOIN it onto the mention table —
+    missing term -> 0, the reference ``Lexicon.get_score`` default."""
+    return (_mentions_cte(transcripts_path, synonyms_path) + f""",
+tone_lex AS (
+  SELECT term,
+         CAST(CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT) % 3 - 1
+              AS INT) AS tone
+  FROM (SELECT DISTINCT lower(trim(value)) AS term
+        FROM read_parquet('{synonyms_path}'))
+)
+SELECT m.conv_id, m.turn_idx, m.ind_in_doc, m.value,
+       CAST(COALESCE(t.tone, 0) AS INT) AS tone
+FROM mentions m
+LEFT JOIN tone_lex t ON t.term = lower(trim(m.value))
+ORDER BY m.conv_id, m.turn_idx, m.ind_in_doc""")
+
+
 def turn_stats_noframes_sql(transcripts_path: str) -> str:
     return f"""
 WITH {_words_cte(transcripts_path)}

@@ -323,6 +323,44 @@ JOIN (SELECT generate_series AS g FROM generate_series(0, 13300, 700)) s
   ON s.g <= greatest(((d.doc_id % 10) * 1500 + 500) - 1, 0)
 WHERE d.doc_id % 3 = 2"""
 
+# real PPM decode check: the encoder writes pixel (x,y,c) value
+# (doc_id*31 + y*7 + x*3 + c*11) % 256 at w=4+id%5, h=3+id%4 (even ids);
+# the oracle recomputes the exact channel sums from that closed form —
+# independent of both the Python encoder and the parser it feeds
+DOC_SQL["multimodal_decode_ppm"] = """
+WITH ppm AS (
+  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+  FROM documents WHERE doc_id % 2 = 0
+),
+ys AS (SELECT doc_id, w, h,
+              unnest(generate_series(0, h - 1)) AS y FROM ppm),
+xs AS (SELECT doc_id, w, h, y,
+              unnest(generate_series(0, w - 1)) AS x FROM ys)
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       CAST(MIN(w) AS INT) AS width, CAST(MIN(h) AS INT) AS height,
+       CAST(SUM((doc_id*31 + y*7 + x*3) % 256) AS BIGINT) AS sum_r,
+       CAST(SUM((doc_id*31 + y*7 + x*3 + 11) % 256) AS BIGINT) AS sum_g,
+       CAST(SUM((doc_id*31 + y*7 + x*3 + 22) % 256) AS BIGINT) AS sum_b
+FROM xs GROUP BY doc_id ORDER BY media_id"""
+
+# real WAV decode check: interleaved PCM16 sample i value
+# ((doc_id*131 + i*17) % 65536) - 32768 over nch*n samples,
+# rate=8000+(id%3)*4000, nch=2 (odd ids), n=16+id%9 per channel
+DOC_SQL["multimodal_decode_wav"] = """
+WITH wav AS (
+  SELECT doc_id, 8000 + (doc_id % 3) * 4000 AS rate,
+         2 AS nch, 16 + doc_id % 9 AS n
+  FROM documents WHERE doc_id % 2 = 1
+),
+ws AS (SELECT doc_id, rate, nch, n,
+              unnest(generate_series(0, nch * n - 1)) AS i FROM wav)
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       CAST(MIN(rate) AS INT) AS sample_rate,
+       CAST(MIN(nch) AS INT) AS n_channels,
+       CAST(MIN(n) AS BIGINT) AS n_samples,
+       CAST(SUM((doc_id*131 + i*17) % 65536 - 32768) AS BIGINT) AS amp_sum
+FROM ws GROUP BY doc_id ORDER BY media_id"""
+
 # capstone: the end-to-end training-data curation pass — quality gate +
 # language gate + exact-dedup canonical + near-dup cluster representative,
 # composed from the SAME individually-checked CTE bodies (nested WITHs are

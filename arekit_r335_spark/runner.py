@@ -97,6 +97,13 @@ class GraphSink:
         ``df`` are overwritten, all others untouched."""
         if self.fmt == "iceberg":
             self._check_catalog(df.sparkSession)
+            if not df.sparkSession.catalog.tableExists(self.path(name)):
+                # bootstrap: overwritePartitions() requires an existing
+                # table — first write creates it with the partition spec
+                # (ADVICE r4), after which per-partition replace applies
+                (df.writeTo(self.path(name))
+                 .partitionedBy(F.col(partition_col)).create())
+                return
             df.writeTo(self.path(name)).overwritePartitions()
             return
         df.sparkSession.conf.set(

@@ -25,6 +25,11 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
+# per-query walls must not share work across queries: the registry's
+# session-scoped pipeline memo (queries._pipeline) would let kg_triples
+# warm kg_samples — correct for the correctness gate, dishonest for timing
+os.environ["AREKIT_QUERY_CACHE"] = "0"
+
 HEADLINE = [
     "kg_triples",
     "kg_triples_noframes",
@@ -64,7 +69,9 @@ def run_query_quiet(spark, fn, sf_dir: str, attempts: int = 3,
     the threshold — not the min over attempts, which under steal would
     conflate steal mitigation with warm-OS/page-cache retry speedup
     (ADVICE r3) — and only fall back to the minimum when no attempt is
-    quiet.  Returns (seconds, steal fraction of the accepted attempt)."""
+    quiet.  Returns (seconds, steal fraction of the accepted attempt,
+    quiet flag); quiet=False marks the min-of-attempts fallback so a
+    no-quiet-window round is distinguishable in the JSON (ADVICE r4)."""
     best, best_steal = float("inf"), 1.0
     for _ in range(attempts):
         j0, s0 = _cpu_stat()
@@ -72,10 +79,10 @@ def run_query_quiet(spark, fn, sf_dir: str, attempts: int = 3,
         j1, s1 = _cpu_stat()
         steal = (s1 - s0) / max(1, j1 - j0)
         if steal < steal_thresh:
-            return dt, steal
+            return dt, steal, True
         if dt < best:
             best, best_steal = dt, steal
-    return best, best_steal
+    return best, best_steal, False
 
 
 def _tmpfs_local_dir() -> str | None:
@@ -250,11 +257,14 @@ def main() -> None:
     run_query(spark, qs["kg_triples"], "/root/testdata/sf0.001")
     per_query: dict[str, float] = {}
     steals: dict[str, float] = {}
+    fallbacks: list[str] = []
     total = 0.0
     for name in HEADLINE:
-        dt, steal = run_query_quiet(spark, qs[name], SF_DIR)
+        dt, steal, quiet = run_query_quiet(spark, qs[name], SF_DIR)
         per_query[name] = round(dt, 3)
         steals[name] = round(steal, 4)
+        if not quiet:
+            fallbacks.append(name)
         total += dt
     turns = count_turns(SF_DIR)
     flag = per_query.get("kg_triples", 1.0)
@@ -273,7 +283,8 @@ def main() -> None:
                      "timing": "per-query first attempt with /proc/stat "
                                "steal <5% (<=3 attempts; min-of-attempts "
                                "fallback only when none is quiet)",
-                     "steal_frac": steals},
+                     "steal_frac": steals,
+                     "min_fallback_queries": fallbacks},
     }
 
     if scaling:

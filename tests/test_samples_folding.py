@@ -267,3 +267,68 @@ def test_samples_formatter_variants(spark, sf0001_dir):
     # (e.g. 'UnitedNations' surfaces) somewhere in the corpus slice
     assert ("субъектов" in joined or "объектов" in joined
             or "сущностей" in joined)
+
+
+def test_ppm_decode_real():
+    """The pure-Python P6 parser: comment + token-walk header handling,
+    exact channel sums, loud failures on malformed input."""
+    import pytest
+
+    from arekit_r335_spark.functions.multimodal import decode_ppm, encode_ppm
+
+    for d in (0, 3, 7, 14):
+        w, h = 4 + d % 5, 3 + d % 4
+        expect = [sum((d * 31 + y * 7 + x * 3 + c * 11) % 256
+                      for y in range(h) for x in range(w))
+                  for c in range(3)]
+        assert decode_ppm(encode_ppm(d)) == (w, h, *expect)
+    # hand-built 1x1 white pixel with a header comment
+    assert decode_ppm(b"P6\n# c\n1 1\n255\n\xff\xff\xff") == (
+        1, 1, 255, 255, 255)
+    with pytest.raises(ValueError):
+        decode_ppm(b"P5\n1 1\n255\n\xff")          # wrong magic
+    with pytest.raises(ValueError):
+        decode_ppm(b"P6\n1 1\n65535\n\x00\x00")    # unsupported maxval
+    with pytest.raises(ValueError):
+        decode_ppm(b"P6\n2 2\n255\n\x00\x00\x00")  # truncated pixels
+
+
+def test_wav_decode_real():
+    """RIFF chunk walk (junk chunk skipped), PCM16 validation, exact
+    signed sample sum."""
+    import struct
+
+    import pytest
+
+    from arekit_r335_spark.functions.multimodal import decode_wav, encode_wav
+
+    for d in (1, 5, 9, 17):
+        nch, n = 2, 16 + d % 9
+        amp = sum(((d * 131 + i * 17) % 65536) - 32768
+                  for i in range(n * nch))
+        assert decode_wav(encode_wav(d)) == (
+            8000 + (d % 3) * 4000, nch, n, amp)
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFX" + b"\x00" * 40)          # bad magic
+    # 8-bit PCM rejected
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    bad = (b"RIFF" + struct.pack("<I", 24) + b"WAVE"
+           + b"fmt " + struct.pack("<I", 16) + fmt
+           + b"data" + struct.pack("<I", 0))
+    with pytest.raises(ValueError):
+        decode_wav(bad)
+
+
+def test_decode_assets_dispatch(spark):
+    """decode_assets magic-dispatch: PPM and WAV rows decode for real,
+    unknown payloads stay opaque; partition-count invariant."""
+    from arekit_r335_spark.functions.multimodal import (decode_assets,
+                                                        encode_ppm,
+                                                        encode_wav)
+    rows = [(0, bytearray(encode_ppm(0))),
+            (1, bytearray(encode_wav(1))),
+            (2, bytearray(b"\x89PNG not decodable"))]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.media_id: r.fmt
+           for r in decode_assets(media.repartition(5), buckets=4).collect()}
+    assert got == {0: "ppm", 1: "wav", 2: "opaque"}

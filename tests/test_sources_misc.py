@@ -108,3 +108,50 @@ def test_term_embedding_npz_roundtrip_s11(spark, tmp_path):
     assert matrix.dtype == np.float32 and matrix.shape == (3, 2)
     # dedup kept one row per term; unknown term "beta" keeps the zero row
     assert matrix.tolist() == [[1.0, 2.0], [0.0, 0.0], [3.0, 4.0]]
+
+
+def test_tone_lexicon_semantics():
+    """Reference Lexicon/RuSentiLexLexicon semantics
+    (contrib/utils/lexicons/lexicon.py:18-37): first matching row wins,
+    missing term scores 0, iteration yields terms, membership via in."""
+    from arekit_r335_spark.lexicons import ToneLexicon
+
+    lex = ToneLexicon.from_csv_lines(
+        ["term,tone", "good,1", "bad,-1", "good,-1", "meh,0"])
+    assert lex.get_score("good") == 1      # first registration wins
+    assert lex.get_score("bad") == -1
+    assert lex.get_score("unknown") == 0   # get_score default
+    assert lex.has_term("meh") and "meh" in lex
+    assert "unknown" not in lex
+    assert list(lex) == ["good", "bad", "meh"]
+
+
+def test_relation_lexicon_semantics():
+    """Reference RelationLexicon (contrib/utils/lexicons/relation.py:4-40):
+    l<->r key validation, symmetric fallback, None when missing."""
+    import pytest
+
+    from arekit_r335_spark.lexicons import RelationLexicon
+
+    lex = RelationLexicon.from_csv_lines(
+        ["relation,tone", "a<->b,1", "c<->d,-1"])
+    assert lex.get_score("a", "b") == 1
+    assert lex.get_score("b", "a") == 1    # symmetric fallback
+    assert lex.get_score("d", "c") == -1
+    assert lex.get_score("a", "c") is None
+    with pytest.raises(ValueError):
+        RelationLexicon.from_csv_lines(["relation,tone", "nosep,1"])
+
+
+def test_synthetic_tone_csv_roundtrip():
+    """The fixture tone CSV parses back through the reference-shaped
+    loader and the md5-derived tones land in {-1, 0, 1}."""
+    from arekit_r335_spark.lexicons import (ToneLexicon,
+                                            synthetic_tone_csv_lines)
+
+    lines = synthetic_tone_csv_lines(["usa", "america", "usa", "moscow"])
+    lex = ToneLexicon.from_csv_lines(lines)
+    assert sorted(lex.df["term"]) == ["america", "moscow", "usa"]
+    assert all(t in (-1, 0, 1) for t in lex.df["tone"])
+    # deterministic: same input, same tones
+    assert lines == synthetic_tone_csv_lines(["moscow", "america", "usa"])
