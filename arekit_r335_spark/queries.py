@@ -80,6 +80,49 @@ def _noframes_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pipeline(spark, sf_dir, frames=False).mentions
 
 
+def _derived(spark: SparkSession, sf_dir: str, name: str, build):
+    """Session-scoped memo for derived tables shared by many registry
+    entries (same contract and ``AREKIT_QUERY_CACHE`` flag as ``_pipeline``):
+    the graph-analytics family all rebuilds the identical alias-CC map /
+    canonical edge table / co-occurrence rollup, ~2-3s of redundant Spark
+    work per query at sf0.01 — the slow tail that kept the driver's
+    correctness gate from covering the whole registry (VERDICT r4 item 1).
+    Persisted MEMORY_AND_DISK; every memoized table is dictionary- or
+    rollup-sized (components, canonical edges, co-occurring pairs), not
+    corpus-sized."""
+    if os.environ.get("AREKIT_QUERY_CACHE", "1") != "1":
+        return build()
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir, name)
+    df = _RES_CACHE.get(key)
+    if df is None:
+        for k in [k for k in _RES_CACHE if k[0] != app_id]:
+            del _RES_CACHE[k]
+        df = build()
+        from pyspark import StorageLevel
+        df.persist(StorageLevel.MEMORY_AND_DISK)
+        _RES_CACHE[key] = df
+    return df
+
+
+def _comps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alias-CC component map, memoized per session: ``group_alias_edges``
+    derives its edge list from the alias + synonym-seed dictionaries alone,
+    so the component map is IDENTICAL for every consumer (canonical nodes,
+    canonical edges, co-occurrence, timelines, salience) and dictionary-
+    sized — broadcast at every join site."""
+    from .operators.canonical import connected_components, group_alias_edges
+
+    def build():
+        _, inputs = _kg(spark, sf_dir)
+        seed_df = seed_groups_df(spark, load_synonym_seed(inputs.synonyms))
+        aliases = spark.read.parquet(inputs.aliases)
+        return connected_components(group_alias_edges(
+            _noframes_mentions(spark, sf_dir), aliases, seed_df))
+
+    return _derived(spark, sf_dir, "comps", build)
+
+
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
@@ -308,12 +351,8 @@ def q_kg_canonical_nodes(spark, sf_dir):
     """J7b north-rule canonicalization: alias edges over group keys ->
     connected components (iterative joins + checkpointing) -> canonical id
     per synonym group. (group_key, canon_id, n_mentions)."""
-    from .operators.canonical import connected_components, group_alias_edges
-    _, inputs = _kg(spark, sf_dir)
     mentions = _noframes_mentions(spark, sf_dir)
-    seed_df = seed_groups_df(spark, load_synonym_seed(inputs.synonyms))
-    aliases = spark.read.parquet(inputs.aliases)
-    comps = connected_components(group_alias_edges(mentions, aliases, seed_df))
+    comps = _comps(spark, sf_dir)
     grp = (mentions.groupBy("group_key")
            .agg(F.count("*").cast("long").alias("n_mentions")))
     out = grp.join(comps.withColumnRenamed("node", "group_key"),
@@ -931,22 +970,21 @@ def q_kg_canonical_edges(spark, sf_dir):
     (src, dst, label). The component map derives from the alias dictionary
     (dictionary-sized even at corpus scale), so both endpoint joins
     broadcast; the only shuffle is the final (src, dst, label) rollup."""
-    _, inputs = _kg(spark, sf_dir)
-    res = _pipeline(spark, sf_dir, frames=False)
-    return _canonical_edges_from_ops(spark, inputs, res.doc_opinions)
+    def build():
+        res = _pipeline(spark, sf_dir, frames=False)
+        return _canonical_edges_from_ops(spark, _comps(spark, sf_dir),
+                                         res.doc_opinions)
+
+    return _derived(spark, sf_dir, "canonical_edges", build)
 
 
-def _canonical_edges_from_ops(spark, inputs, doc_opinions):
+def _canonical_edges_from_ops(spark, comps, doc_opinions):
     """Canonical edge rollup over ANY doc-opinion table (inline pipeline
     output or the runner's materialized ``opinions`` sink): J9 priority
     dedup per (conv, s, t), alias-CC re-pointing (dictionary-sized ->
-    broadcast joins), (src, dst, label) aggregate."""
+    broadcast joins), (src, dst, label) aggregate.  ``comps`` is the
+    alias-CC component map (``_comps``) — identical for every consumer."""
     from pyspark.sql import Window
-    from .operators.canonical import connected_components, group_alias_edges
-    seed_df = seed_groups_df(spark, load_synonym_seed(inputs.synonyms))
-    aliases = spark.read.parquet(inputs.aliases)
-    comps = connected_components(
-        group_alias_edges(doc_opinions, aliases, seed_df))
     w = Window.partitionBy("conv_id", "s_group", "t_group").orderBy("priority")
     ops = (doc_opinions.withColumn("__rn", F.row_number().over(w))
            .filter(F.col("__rn") == 1).drop("__rn"))
@@ -985,10 +1023,10 @@ def q_kg_degrees_materialized(spark, sf_dir):
     extraction run)."""
     from .operators.graph import node_degrees
     from .runner import read_opinions
-    _, inputs = _kg(spark, sf_dir)
     sink_dir = materialized_graph_sink(spark, sf_dir)
     ops = read_opinions(spark, sink_dir).drop("bucket")
-    return node_degrees(_canonical_edges_from_ops(spark, inputs, ops))
+    return node_degrees(
+        _canonical_edges_from_ops(spark, _comps(spark, sf_dir), ops))
 
 
 def q_kg_pagerank_materialized(spark, sf_dir):
@@ -1002,10 +1040,9 @@ def q_kg_pagerank_materialized(spark, sf_dir):
     writes), repr-exact damping literals."""
     from .operators.graph import pagerank
     from .runner import read_opinions
-    _, inputs = _kg(spark, sf_dir)
     sink_dir = materialized_graph_sink(spark, sf_dir)
     ops = read_opinions(spark, sink_dir).drop("bucket")
-    edges = _canonical_edges_from_ops(spark, inputs, ops)
+    edges = _canonical_edges_from_ops(spark, _comps(spark, sf_dir), ops)
     return pagerank(edges, n_iter=5)
 
 
@@ -1018,14 +1055,13 @@ def q_kg_node_degrees(spark, sf_dir):
 
 
 def _cooccurrence(spark, sf_dir):
-    from .operators.canonical import connected_components, group_alias_edges
     from .operators.graph import conv_entity_sets, cooccurrence
-    _, inputs = _kg(spark, sf_dir)
-    m = _noframes_mentions(spark, sf_dir)
-    seed_df = seed_groups_df(spark, load_synonym_seed(inputs.synonyms))
-    aliases = spark.read.parquet(inputs.aliases)
-    comps = connected_components(group_alias_edges(m, aliases, seed_df))
-    return cooccurrence(conv_entity_sets(m, comps))
+
+    def build():
+        m = _noframes_mentions(spark, sf_dir)
+        return cooccurrence(conv_entity_sets(m, _comps(spark, sf_dir)))
+
+    return _derived(spark, sf_dir, "cooc", build)
 
 
 def q_kg_cooccurrence(spark, sf_dir):
@@ -1122,13 +1158,8 @@ def q_kg_entity_salience(spark, sf_dir):
     aggregate, a one-row broadcast total, and a conv-partitioned window;
     ranking on the 1e6-rounded integer score."""
     from pyspark.sql import Window
-    from .operators.canonical import connected_components, group_alias_edges
-    _, inputs = _kg(spark, sf_dir)
     mentions = _noframes_mentions(spark, sf_dir)
-    seed_df = seed_groups_df(spark, load_synonym_seed(inputs.synonyms))
-    aliases = spark.read.parquet(inputs.aliases)
-    comps = connected_components(
-        group_alias_edges(mentions, aliases, seed_df))
+    comps = _comps(spark, sf_dir)
     mc = (mentions
           .join(F.broadcast(comps.withColumnRenamed("node", "group_key")),
                 "group_key", "left")
@@ -1211,13 +1242,9 @@ def q_kg_entity_timeline(spark, sf_dir):
     staleness monitoring over the KG.  The ts join runs on the pipeline's
     (conv_id, turn_idx) partitioning; the component map is dictionary-
     sized and broadcasts."""
-    from .operators.canonical import connected_components, group_alias_edges
     _, inputs = _kg(spark, sf_dir)
     mentions = _noframes_mentions(spark, sf_dir)
-    seed_df = seed_groups_df(spark, load_synonym_seed(inputs.synonyms))
-    aliases = spark.read.parquet(inputs.aliases)
-    comps = connected_components(
-        group_alias_edges(mentions, aliases, seed_df))
+    comps = _comps(spark, sf_dir)
     tt = (spark.read.parquet(inputs.transcripts)
           .select("conv_id", "turn_idx", "ts"))
     m = (mentions.join(tt, ["conv_id", "turn_idx"])

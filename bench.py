@@ -352,6 +352,16 @@ def main() -> None:
             json.dump(scaling_out, f, indent=1)
         out["scaling"] = scaling_out
 
+    # Materialized-analytics split (VERDICT r4 item 3): sink-write wall vs
+    # analytics-read wall at sf1x8, recorded by tools/bench_materialized.py
+    # (too heavy to re-run per bench invocation — the write phase alone is
+    # ~2 min at local[8]); embedded so the per-round BENCH snapshot carries
+    # the two-step deployment-shape numbers.
+    mat_path = os.path.join(REPO, "BENCH_MATERIALIZED.json")
+    if os.path.exists(mat_path):
+        with open(mat_path) as f:
+            out["materialized"] = json.load(f)
+
     print(json.dumps(out))
 
 
