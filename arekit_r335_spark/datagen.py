@@ -124,9 +124,17 @@ def n_convs_for_sf(sf: float) -> int:
     return max(20, int(round(60000 * sf)))
 
 
-def generate(out_dir: str, sf: float, seed: int = SEED) -> None:
+def generate(out_dir: str, sf: float, seed: int = SEED,
+             skew_group_frac: float | None = None) -> None:
     """Vectorized generation: every random quantity is drawn as one numpy
-    batch (same content distributions as v2, ~100x faster at large sf)."""
+    batch (same content distributions as v2, ~100x faster at large sf).
+
+    ``skew_group_frac``: planted-skew variant (SURVEY §4 Zipfian-entity
+    risk) — that fraction of ALL mention draws is overridden to synonym
+    group 0, so one group owns ~``frac + (1-frac)/|pools|`` of mentions
+    corpus-wide (a single hot key through grouping, expansion and the
+    canonical rollups). ``None`` (default) leaves the RNG stream and output
+    byte-identical to the uniform fixture."""
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.default_rng(seed)
     n_convs = n_convs_for_sf(sf)
@@ -197,11 +205,19 @@ def generate(out_dir: str, sf: float, seed: int = SEED) -> None:
     m_pos_frac = rng.random(m_total)
     f_pos_frac = rng.random(f_total)
 
+    # drawn AFTER every shared draw so the default (None) path leaves the
+    # RNG stream untouched — uniform fixtures stay byte-identical
+    m_skew = (rng.random(m_total) < skew_group_frac
+              if skew_group_frac else None)
+
     mention_vals: list[str] = []
     for j in range(m_total):
-        pool = pools[conv_of_turn[m_turn[j]]]
-        g = int(pool[int(m_pool_pick[j] * len(pool))])
-        grp = ENTITY_GROUPS[g]
+        if m_skew is not None and m_skew[j]:
+            grp = ENTITY_GROUPS[0]
+        else:
+            pool = pools[conv_of_turn[m_turn[j]]]
+            g = int(pool[int(m_pool_pick[j] * len(pool))])
+            grp = ENTITY_GROUPS[g]
         mention_vals.append(grp[int(m_surface_pick[j] * len(grp))])
 
     toks_list = toks.tolist()   # one bulk conversion; per-turn slicing is

@@ -11,6 +11,12 @@ DATA_001 = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "data", "sf0.001")
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: heavy fixture-generating tests (deselect with "
+        "-m 'not slow')")
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark(app_name="arekit-tests", master="local[4]")
