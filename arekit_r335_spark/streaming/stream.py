@@ -42,8 +42,18 @@ def stream_triples_to_sink(spark: SparkSession, inputs: KgInputs,
             return
         res = build_triple_pipeline(spark, inputs, cfg,
                                     transcripts=batch_df, persist=False)
+        # foreachBatch is at-least-once: a batch that wrote output but died
+        # before the checkpoint commit is REPLAYED on restart with the SAME
+        # batch_id (offsets come from the checkpoint WAL). Dynamic overwrite
+        # of the batch's own partition makes the replay idempotent —
+        # committed batches keep their partitions, the in-flight batch
+        # replaces its half-written one; a kill -9 at any point yields
+        # exactly-once effective output (crash-resume evidence: BASELINE.md).
         (res.triples.withColumn("batch_id", F.lit(batch_id))
-         .write.mode("append").parquet(out_dir))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id")
+         .parquet(out_dir))
 
     return (stream.writeStream
             .option("checkpointLocation", checkpoint_dir)
