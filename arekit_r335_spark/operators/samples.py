@@ -38,6 +38,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .parse import kind_lit
+
 def _default_uint_scale() -> dict[str, int]:
     from ..labels import THREE_CLASS
     return THREE_CLASS.uint_map()
@@ -119,8 +121,8 @@ def build_samples(triples_pos: DataFrame, parsed_terms: DataFrame,
                 .when(ent_group == s_grp, subj_mask)
                 .when(ent_group == t_grp, obj_mask)
                 .otherwise(other_mask))
-            return (F.when(term["kind"] == "e", ent_mask)
-                    .when(term["kind"] == "f", term["aux"])
+            return (F.when(term["kind"] == kind_lit("e"), ent_mask)
+                    .when(term["kind"] == kind_lit("f"), term["aux"])
                     .otherwise(term["text"]))
         return mask
 
@@ -151,7 +153,7 @@ def build_samples(triples_pos: DataFrame, parsed_terms: DataFrame,
         post = post.format(subject=subj_ph, object=obj_ph)
         text_b = F.concat(F.lit(pre), ctx, F.lit(post))
 
-    ent_terms = F.filter(terms, lambda x: x["kind"] == "e")
+    ent_terms = F.filter(terms, lambda x: x["kind"] == kind_lit("e"))
     entity_values = F.array_join(
         F.transform(ent_terms,
                     lambda x: F.regexp_replace(x["text"], ",", "")), ",")
@@ -161,7 +163,7 @@ def build_samples(triples_pos: DataFrame, parsed_terms: DataFrame,
     # in-sentence indices of entity terms
     idx = F.sequence(F.lit(0), F.size(terms) - 1)
     ent_inds = F.filter(idx, lambda i: F.element_at(terms, i + 1)["kind"]
-                        == F.lit("e"))
+                        == kind_lit("e"))
     entities = F.array_join(F.transform(ent_inds,
                                         lambda i: i.cast("string")), ",")
 

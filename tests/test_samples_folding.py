@@ -332,3 +332,41 @@ def test_decode_assets_dispatch(spark):
     got = {r.media_id: r.fmt
            for r in decode_assets(media.repartition(5), buckets=4).collect()}
     assert got == {0: "ppm", 1: "wav", 2: "opaque"}
+
+
+def test_kind_encoding_lever_equivalence(spark, sf0001_dir):
+    """terms.kind ships as int8 codes by default (BASELINE.md A/B: +15% at
+    32 cores on sf1); SPARK_KG_KIND_CODES=0 reverts to letter strings.
+    Both encodings must produce byte-identical samples, and the default
+    schema must actually carry the compact type."""
+    from pyspark.sql.types import ByteType
+
+    from arekit_r335_spark.config import PipelineConfig
+    from arekit_r335_spark.lexicons import FramesLexicon
+    from arekit_r335_spark.operators.parse import parse_transcripts
+
+    inputs = KgInputs.at(sf0001_dir)
+
+    def run():
+        df = build_samples_pipeline(spark, inputs)
+        return sorted(map(tuple, df.collect()))
+
+    old = os.environ.get("SPARK_KG_KIND_CODES")
+    try:
+        os.environ["SPARK_KG_KIND_CODES"] = "1"
+        coded = run()
+        frames_lex = FramesLexicon.from_json(inputs.frames)
+        parsed = parse_transcripts(spark.read.parquet(inputs.transcripts),
+                                   frames_lex, PipelineConfig(),
+                                   with_terms=True)
+        kind_t = (parsed.schema["terms"].dataType.elementType["kind"]
+                  .dataType)
+        assert isinstance(kind_t, ByteType)
+        os.environ["SPARK_KG_KIND_CODES"] = "0"
+        letters = run()
+    finally:
+        if old is None:
+            os.environ.pop("SPARK_KG_KIND_CODES", None)
+        else:
+            os.environ["SPARK_KG_KIND_CODES"] = old
+    assert coded == letters and coded
