@@ -9,6 +9,10 @@ import os
 import re
 import sys
 
+# audit the REAL standalone plans, not the correctness-gate memo's
+# InMemoryRelation wrappers (queries.py session cache) — same as bench.py
+os.environ["AREKIT_QUERY_CACHE"] = "0"
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from arekit_r335_spark.session import get_spark  # noqa: E402
