@@ -156,6 +156,15 @@ def build_triple_pipeline(spark: SparkSession,
     do_ckpt = (frame_annot_live if _ckpt_lever in ("auto", "")
                else _ckpt_lever != "0")
     if do_ckpt:
+        # Project role away BEFORE materializing: the checkpoint defeats
+        # Catalyst column pruning (it stores every column for all 7
+        # consuming branches), and nothing in EP1 past the parse reads
+        # role — mentions/frames/pairs/expansion key on (conv_id,
+        # turn_idx) only. Without the checkpoint, pruning already removes
+        # it, so the no-ckpt plan needs no change. SPARK_KG_DROP_ROLE=0
+        # reverts for A/B (BASELINE.md).
+        if _os.environ.get("SPARK_KG_DROP_ROLE", "1") != "0":
+            parsed = parsed.drop("role")
         parsed = parsed.localCheckpoint(eager=persist)
     mentions = with_group_key(mentions_table(parsed), seed_df,
                               register_missed=cfg.register_missed_synonyms)
