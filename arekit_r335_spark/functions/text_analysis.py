@@ -211,3 +211,77 @@ def bm25_scores(documents: DataFrame, query_terms: tuple[str, ...],
         score = c if score is None else score + c
     return g.select("doc_id", "n_hits",
                     F.round(score * 1e6, 0).cast("long").alias("score_e6"))
+
+
+# --- PII scrubbing (training-data redaction) ----------------------------
+# Patterns restricted to syntax with identical semantics in Java regex
+# (Spark) and RE2 (DuckDB oracle): character classes, bounded repetition,
+# \b — no lookaround, no backreferences.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\+\d[\d ]{5,}\d"
+
+
+def dirty_text_col():
+    """Deterministic PII-bearing text derived from (text, doc_id) — the
+    synthetic documents fixture contains no digits at all, so the scrub
+    mechanics are exercised on text every engine can derive identically
+    (same pattern as the multimodal payload synthesis: the fixture is the
+    driver's, the adversarial content is a pure function of its columns)."""
+    did = F.col("doc_id").cast("string")
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact user"), did,
+        F.lit("@example.com from 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0."), (F.col("doc_id") % 100).cast("string"),
+        F.lit(" call +1 555 01"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        F.lit(" done"))
+
+
+def pii_scrub(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_emails, n_ipv4, n_phones, n_chars_redacted, redacted_md5).
+
+    Pure-codegen redaction: counts on the dirty text, then
+    email -> ``<EMAIL>``, IPv4 -> ``<IP>``, phone -> ``<PHONE>`` applied
+    in that fixed order (phones are counted before replacement too — the
+    three pattern families cannot overlap: phones require a leading '+',
+    IPs have no '@'). Scale-safe: one projection, no shuffle, no UDFs;
+    at 100 TB this is a map-only pass that pushes the text column scan
+    straight through whole-stage codegen."""
+    dirty = dirty_text_col()
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(dirty, PII_EMAIL_RE, "<EMAIL>"),
+            PII_IPV4_RE, "<IP>"),
+        PII_PHONE_RE, "<PHONE>")
+    return documents.select(
+        "doc_id",
+        F.regexp_count(dirty, F.lit(PII_EMAIL_RE)).cast("long")
+         .alias("n_emails"),
+        F.regexp_count(dirty, F.lit(PII_IPV4_RE)).cast("long")
+         .alias("n_ipv4"),
+        F.regexp_count(dirty, F.lit(PII_PHONE_RE)).cast("long")
+         .alias("n_phones"),
+        F.length(redacted).cast("long").alias("n_chars_redacted"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+# BPE-ish pre-tokenizer: the GPT-2-style word/number/punct split reduced to
+# syntax whose alternation and greediness behave identically in Java regex
+# and RE2 (leftmost-first alternation, no lookaround, no \p classes).
+BPE_TOKEN_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+
+def bpe_token_stats(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_ws_tokens, n_bpe_tokens) — whitespace count next to the
+    BPE-ish regex count, the pair a token-budget estimator needs. Pure
+    codegen map-only pass (no shuffle, no UDFs)."""
+    return documents.select(
+        "doc_id",
+        F.size(tokens_col(F.col("text"))).cast("long").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_TOKEN_RE), F.lit(0)))
+         .cast("long").alias("n_bpe_tokens"),
+    )

@@ -537,3 +537,55 @@ SELECT doc_id, pred_lang, bucket FROM b
 WHERE bucket < CASE pred_lang WHEN 'de' THEN 80 WHEN 'en' THEN 50
                               WHEN 'es' THEN 80 ELSE 10 END
 ORDER BY doc_id"""
+
+
+# PII scrub: patterns duplicated deliberately (independent derivation —
+# they are part of the operator spec, RE2-compatible by construction);
+# dirty text is the same deterministic function of (text, doc_id) as
+# functions/text_analysis.dirty_text_col.
+DOC_SQL["doc_pii_scrub"] = r"""
+WITH dirty AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com from 10.'
+              || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+              || CAST(doc_id % 100 AS VARCHAR)
+              || ' call +1 555 01'
+              || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+              || ' done' AS t
+  FROM documents
+),
+red AS (
+  SELECT doc_id, t,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+           '\+\d[\d ]{5,}\d', '<PHONE>', 'g') AS r
+  FROM dirty
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(t,
+         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+       CAST(len(regexp_extract_all(t, '\+\d[\d ]{5,}\d')) AS BIGINT)
+         AS n_phones,
+       CAST(length(r) AS BIGINT) AS n_chars_redacted,
+       md5(r) AS redacted_md5
+FROM red"""
+
+
+# BPE-ish pre-tokenizer count (pattern duplicated deliberately, same
+# whitespace normalization as doc_token_stats for the ws count)
+DOC_SQL["doc_token_bpe"] = r"""
+SELECT doc_id,
+       CAST(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+            'g')), ' ')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text,
+            ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS BIGINT)
+         AS n_bpe_tokens
+FROM documents"""

@@ -662,6 +662,19 @@ def q_doc_fingerprints(spark, sf_dir):
     return fingerprints(_read(spark, sf_dir, "documents"))
 
 
+def q_doc_token_bpe(spark, sf_dir):
+    from .functions.text_analysis import bpe_token_stats
+    return bpe_token_stats(_read(spark, sf_dir, "documents"))
+
+
+def q_doc_pii_scrub(spark, sf_dir):
+    """PII redaction over deterministic dirty text (the fixture has no
+    digits, so adversarial content is synthesized as a pure function of
+    (text, doc_id) — same discipline as the multimodal payloads)."""
+    from .functions.text_analysis import pii_scrub
+    return pii_scrub(_read(spark, sf_dir, "documents"))
+
+
 def q_dedup_exact(spark, sf_dir):
     from .functions.dedup import exact_dup_groups
     return exact_dup_groups(_read(spark, sf_dir, "documents"))
@@ -1355,6 +1368,8 @@ def registry() -> dict:
         "doc_token_stats": q_doc_token_stats,
         "doc_quality": q_doc_quality,
         "doc_langid": q_doc_langid,
+        "doc_pii_scrub": q_doc_pii_scrub,
+        "doc_token_bpe": q_doc_token_bpe,
         "doc_fingerprints": q_doc_fingerprints,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,

@@ -203,3 +203,34 @@ def test_kmeans_separates_planted_clusters(spark):
     prof = kmeans_profile(emb, k=2, n_iter=3).collect()
     assert sum(r.n_vectors for r in prof) == 40
     assert sorted(r.n_vectors for r in prof) == [20, 20]
+
+
+def test_pii_scrub_semantics(spark):
+    """Each synthesized dirty doc carries exactly one email, one IPv4, one
+    phone; redaction replaces all three and nothing in the clean text."""
+    from arekit_r335_spark.functions.text_analysis import pii_scrub
+
+    docs = spark.createDataFrame(
+        [(7, "plain words only"), (42, "another doc no digits")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in pii_scrub(docs).collect()}
+    for did, r in rows.items():
+        assert (r["n_emails"], r["n_ipv4"], r["n_phones"]) == (1, 1, 1)
+    # redacted text length: doc 7 -> '... contact user7<EMAIL->...'
+    # reconstruct the expected redacted string directly
+    exp7 = ("plain words only contact <EMAIL> from <IP> call <PHONE> done")
+    import hashlib
+    assert rows[7]["redacted_md5"] == hashlib.md5(
+        exp7.encode()).hexdigest()
+    assert rows[7]["n_chars_redacted"] == len(exp7)
+
+
+def test_bpe_token_stats_semantics(spark):
+    from arekit_r335_spark.functions.text_analysis import bpe_token_stats
+
+    docs = spark.createDataFrame(
+        [(1, "hello world42, ok!")], "doc_id long, text string")
+    r = bpe_token_stats(docs).collect()[0]
+    # ws: hello | world42, | ok!  -> 3
+    # bpe: 'hello',' world','42',',',' ok','!' -> 6
+    assert (r["n_ws_tokens"], r["n_bpe_tokens"]) == (3, 6)
