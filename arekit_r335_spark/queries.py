@@ -322,6 +322,34 @@ def q_kg_doc_opinions(spark, sf_dir):
         F.col("priority").cast("int").alias("priority"))
 
 
+def q_kg_tool_profile(spark, sf_dir):
+    """Tool-provenance profile over the transcript input schema's ``tool``
+    column: per-tool turn/conversation/char counts plus how many entity
+    mentions each tool's turns yield. Scale shape: two map-side-combinable
+    groupBys over a tool-cardinality key (a handful of distinct tools) and
+    one equi-join of mentions back to their turns on (conv_id, turn_idx) —
+    the partitioning every post-parse stage already carries."""
+    _, inputs = _kg(spark, sf_dir)
+    tr = spark.read.parquet(inputs.transcripts).select(
+        "conv_id", "turn_idx",
+        F.coalesce("tool", F.lit("none")).alias("tool"),
+        F.length("text").alias("n_chars"))
+    base = (tr.groupBy("tool")
+            .agg(F.count("*").cast("long").alias("n_turns"),
+                 F.countDistinct("conv_id").cast("long").alias("n_convs"),
+                 F.sum("n_chars").cast("long").alias("n_chars")))
+    mt = (_noframes_mentions(spark, sf_dir).select("conv_id", "turn_idx")
+          .join(tr.select("conv_id", "turn_idx", "tool"),
+                ["conv_id", "turn_idx"])
+          .groupBy("tool").agg(F.count("*").cast("long")
+                               .alias("n_mentions")))
+    return (base.join(mt, "tool", "left")
+            .select("tool", "n_turns", "n_convs", "n_chars",
+                    F.coalesce("n_mentions", F.lit(0)).cast("long")
+                    .alias("n_mentions"))
+            .orderBy("tool"))
+
+
 def q_kg_conv_profile(spark, sf_dir):
     """Per-conversation KG profile — the operational "what did extraction
     yield per document" rollup: turn count, time span, mention count,
@@ -1354,6 +1382,7 @@ def registry() -> dict:
         "kg_doc_opinions": q_kg_doc_opinions,
         "kg_canonical_nodes": q_kg_canonical_nodes,
         "kg_conv_profile": q_kg_conv_profile,
+        "kg_tool_profile": q_kg_tool_profile,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_ivf": q_knn_ivf,
         "knn_lsh": q_knn_lsh,
@@ -1556,6 +1585,27 @@ SELECT trs.conv_id, trs.n_turns, trs.first_ts, trs.last_ts,
        COALESCE(ts2.n_triples, 0) AS n_triples
 FROM trs LEFT JOIN ms ON ms.conv_id = trs.conv_id
 LEFT JOIN ts2 ON ts2.conv_id = trs.conv_id
+ORDER BY 1"""),
+        "kg_tool_profile": (
+            "WITH m AS MATERIALIZED ("
+            + duck.mentions_noframes_sql(tr, syn)
+            + f"""),
+trt AS (
+  SELECT conv_id, turn_idx, COALESCE(tool, 'none') AS tool,
+         length(text) AS n_chars
+  FROM read_parquet('{tr}')),
+base AS (
+  SELECT tool, CAST(COUNT(*) AS BIGINT) AS n_turns,
+         CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs,
+         CAST(SUM(n_chars) AS BIGINT) AS n_chars
+  FROM trt GROUP BY 1),
+mt AS (
+  SELECT t.tool, CAST(COUNT(*) AS BIGINT) AS n_mentions
+  FROM m JOIN trt t ON t.conv_id = m.conv_id AND t.turn_idx = m.turn_idx
+  GROUP BY 1)
+SELECT base.tool, base.n_turns, base.n_convs, base.n_chars,
+       COALESCE(mt.n_mentions, 0) AS n_mentions
+FROM base LEFT JOIN mt ON mt.tool = base.tool
 ORDER BY 1"""),
         "knn_bruteforce": duck.knn_bruteforce_sql(),
         "knn_ivf": duck.knn_ivf_sql(),
