@@ -362,6 +362,16 @@ def main() -> None:
         with open(mat_path) as f:
             out["materialized"] = json.load(f)
 
+    # Same embedding for the other round-5 at-scale evidence (planted-skew
+    # stress, streaming kill/resume) — recorded by their tools/bench_*.py
+    # scripts, too heavy to re-run per invocation.
+    for key, fname in (("skew", "BENCH_SKEW.json"),
+                       ("stream_resume", "BENCH_STREAM_RESUME.json")):
+        p = os.path.join(REPO, fname)
+        if os.path.exists(p):
+            with open(p) as f:
+                out[key] = json.load(f)
+
     print(json.dumps(out))
 
 
