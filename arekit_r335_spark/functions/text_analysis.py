@@ -285,3 +285,34 @@ def bpe_token_stats(documents: DataFrame) -> DataFrame:
         F.size(F.regexp_extract_all("text", F.lit(BPE_TOKEN_RE), F.lit(0)))
          .cast("long").alias("n_bpe_tokens"),
     )
+
+
+def contamination(documents: DataFrame, benchmark_mod: int = 50,
+                  n: int = 3) -> DataFrame:
+    """Benchmark-contamination detection: word n-gram overlap of every
+    training document against a held-out benchmark set (here the
+    deterministic ``doc_id % benchmark_mod == 0`` slice — in deployment
+    the benchmark table is the eval suite's documents).
+
+    (doc_id, n_shingles, n_overlap, is_contaminated) — distinct-shingle
+    counts (integer-exact) and a 10%-overlap flag kept in cross-multiplied
+    integer form. 100 TB shape: the benchmark side is tiny by construction
+    (eval suites are MBs, the corpus is TBs) so its distinct shingles
+    BROADCAST; the per-doc aggregations are map-side combinable; no
+    corpus-sized shuffle beyond the doc-side distinct."""
+    sh = shingles(documents, n)
+    is_bench = (F.col("doc_id") % benchmark_mod) == 0
+    doc_sh = sh.filter(~is_bench).distinct()
+    bench_sh = sh.filter(is_bench).select("shingle").distinct()
+    tot = doc_sh.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_shingles"))
+    ov = (doc_sh.join(F.broadcast(bench_sh), "shingle")
+          .groupBy("doc_id").agg(F.count("*").cast("long")
+                                 .alias("n_overlap")))
+    return (tot.join(ov, "doc_id", "left")
+            .select("doc_id", "n_shingles",
+                    F.coalesce("n_overlap", F.lit(0)).cast("long")
+                    .alias("n_overlap"),
+                    (F.coalesce("n_overlap", F.lit(0)) * 10
+                     >= F.col("n_shingles")).cast("int")
+                    .alias("is_contaminated")))

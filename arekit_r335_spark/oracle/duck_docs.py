@@ -589,3 +589,21 @@ SELECT doc_id,
             ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS BIGINT)
          AS n_bpe_tokens
 FROM documents"""
+
+
+# benchmark-contamination: distinct word-3-gram overlap vs the
+# doc_id % 50 == 0 benchmark slice; 10%-overlap flag cross-multiplied
+DOC_SQL["doc_contamination"] = f"""
+WITH {_SHINGLES_CTE},
+dsh AS (SELECT DISTINCT doc_id, shingle FROM shingles
+        WHERE doc_id % 50 <> 0),
+bsh AS (SELECT DISTINCT shingle FROM shingles WHERE doc_id % 50 = 0),
+tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles
+        FROM dsh GROUP BY 1),
+ov AS (SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+       FROM dsh d JOIN bsh b ON b.shingle = d.shingle GROUP BY 1)
+SELECT tot.doc_id, tot.n_shingles,
+       COALESCE(ov.n_overlap, 0) AS n_overlap,
+       CAST(COALESCE(ov.n_overlap, 0) * 10 >= tot.n_shingles AS INT)
+         AS is_contaminated
+FROM tot LEFT JOIN ov ON ov.doc_id = tot.doc_id"""

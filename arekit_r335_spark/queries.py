@@ -695,6 +695,11 @@ def q_doc_token_bpe(spark, sf_dir):
     return bpe_token_stats(_read(spark, sf_dir, "documents"))
 
 
+def q_doc_contamination(spark, sf_dir):
+    from .functions.text_analysis import contamination
+    return contamination(_read(spark, sf_dir, "documents"))
+
+
 def q_doc_pii_scrub(spark, sf_dir):
     """PII redaction over deterministic dirty text (the fixture has no
     digits, so adversarial content is synthesized as a pure function of
@@ -1399,6 +1404,7 @@ def registry() -> dict:
         "doc_langid": q_doc_langid,
         "doc_pii_scrub": q_doc_pii_scrub,
         "doc_token_bpe": q_doc_token_bpe,
+        "doc_contamination": q_doc_contamination,
         "doc_fingerprints": q_doc_fingerprints,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,

@@ -234,3 +234,20 @@ def test_bpe_token_stats_semantics(spark):
     # ws: hello | world42, | ok!  -> 3
     # bpe: 'hello',' world','42',',',' ok','!' -> 6
     assert (r["n_ws_tokens"], r["n_bpe_tokens"]) == (3, 6)
+
+
+def test_contamination_semantics(spark):
+    """Doc sharing >=10% of its distinct 3-gram shingles with the benchmark
+    slice (doc_id % 50 == 0) is flagged; a disjoint doc is not."""
+    from arekit_r335_spark.functions.text_analysis import contamination
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon"),       # benchmark
+         (1, "alpha beta gamma delta zeta"),          # shares 2/3 shingles
+         (2, "one two three four five six")],         # disjoint
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in contamination(docs).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["n_shingles"] == 3 and rows[1]["n_overlap"] == 2
+    assert rows[1]["is_contaminated"] == 1
+    assert rows[2]["n_overlap"] == 0 and rows[2]["is_contaminated"] == 0
